@@ -1,0 +1,98 @@
+"""LDPC rate matching / recovery + HARQ combining, TS 38.212 §5.4.2.
+
+The reference walks the circular buffer bit-by-bit skipping filler NULLs
+(openair1/PHY/CODING/nr_rate_matching.c:34 index_k0, :507
+nr_rate_matching_ldpc_rx).  Here the whole selection is a precomputed static
+index tensor per (bg, Z, rv, E, F): TX is one gather, RX de-rate-matching is
+one scatter-add into the (batch, N) LLR buffer — which is also exactly HARQ
+soft combining when accumulated into a persistent buffer.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ldpc import LDPCGraph
+
+# TS 38.212 Table 5.4.2.1-2: k0 numerators per (bg, rv); k0 = floor(num * Ncb / (den*Z)) * Z
+_K0_NUM = {1: {0: 0, 1: 17, 2: 33, 3: 56}, 2: {0: 0, 1: 13, 2: 25, 3: 43}}
+_DEN = {1: 66, 2: 50}
+
+
+def k0_offset(bg: int, Z: int, rv: int, Ncb: int) -> int:
+    return (_K0_NUM[bg][rv] * Ncb // (_DEN[bg] * Z)) * Z
+
+
+@functools.lru_cache(maxsize=256)
+def selection_indices(bg: int, Z: int, kc: int, rv: int, E: int, F: int, Ncb: int | None = None) -> np.ndarray:
+    """(E,) int32 indices into the length-Ncb circular buffer d_0..d_{Ncb-1}.
+
+    d is the mother codeword minus the first 2Z punctured systematic bits.
+    Filler positions (K' - 2Z .. K - 2Z - 1) are skipped per spec.
+    """
+    K = kc * Z
+    N = Ncb if Ncb is not None else (_DEN[bg] + 2) * Z - 2 * Z  # 66Z/50Z
+    k0 = k0_offset(bg, Z, rv, N)
+    f_lo, f_hi = K - 2 * Z - F, K - 2 * Z  # filler range within d
+    is_filler = np.zeros(N, dtype=bool)
+    is_filler[f_lo:f_hi] = True
+    order = (k0 + np.arange(N)) % N
+    usable = order[~is_filler[order]]
+    n_usable = len(usable)
+    reps = -(-E // n_usable)
+    sel = np.tile(usable, reps)[:E]
+    return sel.astype(np.int32)
+
+
+def rate_match_tx(graph: LDPCGraph, codeword: jnp.ndarray, rv: int, E: int, F: int) -> jnp.ndarray:
+    """(batch, cols*Z) mother codeword -> (batch, E) transmitted bits."""
+    g = graph
+    d = codeword[..., 2 * g.Z:]  # drop punctured systematic head
+    sel = jnp.asarray(selection_indices(g.bg, g.Z, g.kc, rv, E, F))
+    return jnp.take(d, sel, axis=-1)
+
+
+def rate_match_rx(
+    graph: LDPCGraph,
+    llr_e: jnp.ndarray,
+    rv: int,
+    F: int,
+    harq_buffer: jnp.ndarray | None = None,
+    filler_llr: float = 1e4,
+) -> jnp.ndarray:
+    """(batch, E) received LLRs -> (batch, cols*Z) mother-code LLRs.
+
+    Scatter-adds into `harq_buffer` (same shape, previous rounds' LLRs) when
+    given — this IS the HARQ soft combine (nr_rate_matching.c:507 analog).
+    Punctured head bits get LLR 0; fillers get a large known-zero LLR.
+    """
+    g = graph
+    B = llr_e.shape[0]
+    E = llr_e.shape[-1]
+    N = g.N
+    sel = jnp.asarray(selection_indices(g.bg, g.Z, g.kc, rv, E, F))
+    d = jnp.zeros((B, N), llr_e.dtype).at[:, sel].add(llr_e)
+    K = g.K
+    if F:
+        filler = jnp.zeros((N,), llr_e.dtype).at[K - 2 * g.Z - F: K - 2 * g.Z].set(filler_llr)
+        d = d + filler[None]
+    full = jnp.concatenate([jnp.zeros((B, 2 * g.Z), llr_e.dtype), d], axis=-1)
+    if harq_buffer is not None:
+        full = full + harq_buffer
+    return full
+
+
+def interleave_tx(bits_e: jnp.ndarray, Qm: int) -> jnp.ndarray:
+    """Bit interleaver, TS 38.212 §5.4.2.2: f_{i+j*Qm} = e_{i*(E/Qm)+j}."""
+    E = bits_e.shape[-1]
+    lead = bits_e.shape[:-1]
+    return bits_e.reshape(*lead, Qm, E // Qm).swapaxes(-1, -2).reshape(*lead, E)
+
+
+def deinterleave_rx(llr_f: jnp.ndarray, Qm: int) -> jnp.ndarray:
+    """Inverse of interleave_tx (operates on LLRs at RX)."""
+    E = llr_f.shape[-1]
+    lead = llr_f.shape[:-1]
+    return llr_f.reshape(*lead, E // Qm, Qm).swapaxes(-1, -2).reshape(*lead, E)

@@ -1,0 +1,275 @@
+"""PUSCH end-to-end chain: UE TX (P32) -> gNB RX (P21/P22/P24/P25).
+
+TPU-native re-design of the reference chain
+  TX: nr_ue_ulsch_procedures (nr_ulsch_ue.c:100) -> nr_ulsch_encoding
+      (nr_ulsch_coding.c:44) -> scramble -> modulate -> DMRS -> RE map -> IFFT
+  RX: nr_rx_pusch_tp (nr_ulsch_demodulation.c:1447): channel estimation
+      (nr_ul_channel_estimation.c:67) -> MRC/MMSE -> LLR
+      (nr_ulsch_llr_computation.c) -> unscramble -> rate recover
+      -> LDPC decode (nr_ulsch_decoding.c:320) -> CRC.
+
+Everything is jitted with static shapes from PuschConfig; the Monte-Carlo
+trial dimension is a leading batch axis (the reference's thread-pool jobs
+C2/C4 become tensor dims).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FrameParams, make_frame_params
+from ..transport import compute_tbs, mcs_to_qm_rate
+from ..coding import ldpc, rate_matching, segmentation
+from ..coding.crc import crc_attach, crc_ok
+from ..phy import channel_estimation as ce
+from ..phy import equalization as eq
+from ..phy import llr as llr_mod
+from ..phy import modulation as mod
+from ..phy import refsig
+from ..phy.ofdm import extract_from_grid, map_to_grid, ofdm_demodulate, ofdm_modulate
+from ..phy.scrambling import pusch_cinit, scramble, scramble_llrs
+
+
+@dataclasses.dataclass(frozen=True)
+class PuschConfig:
+    mu: int = 1
+    n_prb: int = 106
+    mcs: int = 9
+    mcs_table: int = 1
+    n_layers: int = 1
+    n_rx: int = 1
+    start_symbol: int = 0
+    n_symbols: int = 14
+    dmrs_symbols: tuple = (2,)       # type A, pos 2, single-symbol DMRS
+    rnti: int = 0x1234
+    n_id: int = 0
+    slot: int = 0
+    transform_precoding: bool = False
+
+    @property
+    def fp(self) -> FrameParams:
+        return make_frame_params(self.mu, self.n_prb)
+
+    @property
+    def qm_rate(self):
+        return mcs_to_qm_rate(self.mcs, self.mcs_table)
+
+    @property
+    def data_symbols(self) -> tuple:
+        return tuple(
+            s for s in range(self.start_symbol, self.start_symbol + self.n_symbols)
+            if s not in self.dmrs_symbols
+        )
+
+    @property
+    def n_data_re(self) -> int:
+        """Data REs total (DMRS symbols carry no data: 2 CDM groups w/o data)."""
+        return len(self.data_symbols) * 12 * self.n_prb
+
+    @property
+    def tbs(self) -> int:
+        qm, r = self.qm_rate
+        return compute_tbs(qm, r * 1024, self.n_prb, self.n_symbols,
+                           12 * len(self.dmrs_symbols), 0, self.n_layers)
+
+    @property
+    def G(self) -> int:
+        return self.n_data_re * self.qm_rate[0] * self.n_layers
+
+    def seg_params(self):
+        A = self.tbs
+        crc_name = "24A" if A > 3824 else "16"
+        L = 24 if A > 3824 else 16
+        qm, r = self.qm_rate
+        bg = segmentation.base_graph_select(A, r)
+        return segmentation.segment_params(A + L, bg), crc_name
+
+    def cb_e_sizes(self) -> list[int]:
+        """Per-code-block rate-matched lengths E_j (TS 38.212 §5.4.2.1)."""
+        p, _ = self.seg_params()
+        qm = self.qm_rate[0]
+        C, Nl = p.C, self.n_layers
+        gp = self.G // (Nl * qm)
+        gamma = gp % C
+        return [Nl * qm * (gp // C) if j <= C - 1 - gamma else Nl * qm * (-(-gp // C))
+                for j in range(C)]
+
+
+# --------------------------------------------------------------------------
+# TX
+# --------------------------------------------------------------------------
+
+def pusch_tx(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
+    """(batch, TBS) payload bits -> (batch, n_tx_ant(=n_layers), samples).
+
+    Returns (tx_samples, tx_bits_f) where tx_bits_f is the scrambled
+    codeword (for debug/BER counting).
+    """
+    p, crc_name = cfg.seg_params()
+    qm, _ = cfg.qm_rate
+    B = tb_bits.shape[0]
+
+    tb_crc = crc_attach(tb_bits.astype(jnp.int8), crc_name)
+    cbs = segmentation.segment_tb(tb_crc, p)            # (B, C, K)
+    g = ldpc.build_graph(p.bg, p.Z)
+    cw = ldpc.encode(g, cbs.reshape(B * p.C, p.K)).reshape(B, p.C, -1)
+    es = cfg.cb_e_sizes()
+    parts = []
+    for j, E in enumerate(es):
+        e = rate_matching.rate_match_tx(g, cw[:, j], rv, E, p.F)
+        f = rate_matching.interleave_tx(e, qm)
+        parts.append(f)
+    codeword = jnp.concatenate(parts, axis=-1)          # (B, G)
+    cinit = pusch_cinit(cfg.rnti, 0, cfg.n_id)
+    scrambled = scramble(codeword, cinit)
+    syms = mod.modulate(scrambled, qm)                  # (B, G/qm)
+    layers = mod.layer_map(syms, cfg.n_layers)          # (B, L, M)
+
+    # RE grid: (B, L, symbols, n_sc)
+    fp = cfg.fp
+    n_sc = fp.n_sc
+    grid_re = jnp.zeros((B, cfg.n_layers, fp.symbols_per_slot, n_sc), jnp.complex64)
+    m_per_sym = 12 * cfg.n_prb
+    for i, s in enumerate(cfg.data_symbols):
+        grid_re = grid_re.at[:, :, s, :m_per_sym].set(
+            layers[..., i * m_per_sym: (i + 1) * m_per_sym])
+
+    # DMRS insertion (type 1, single symbol, ports 0..L-1)
+    for s in cfg.dmrs_symbols:
+        cinit_d = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
+        pil = refsig.dmrs_sequence(cinit_d, 6 * cfg.n_prb)
+        for port in range(cfg.n_layers):
+            wf, delta = refsig.dmrs_type1_port_weights(port)
+            sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta)
+            w = jnp.asarray(np.tile(wf, 3 * cfg.n_prb), dtype=jnp.complex64)
+            grid_re = grid_re.at[:, port, s, jnp.asarray(sc)].set(pil * w)
+
+    grid = map_to_grid(fp, grid_re)
+    tx = ofdm_modulate(fp, grid, cfg.slot)              # (B, L, samples)
+    return tx, scrambled
+
+
+# --------------------------------------------------------------------------
+# RX
+# --------------------------------------------------------------------------
+
+def pusch_rx(cfg: PuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
+             n_iters: int = 20, harq_buffers=None):
+    """(batch, n_rx, samples) -> decoded TB + status.
+
+    Returns dict with tb_bits (B, TBS), tb_ok (B,), cb_ok (B, C),
+    llrs (B, G) and harq buffers for combining.
+    """
+    p, crc_name = cfg.seg_params()
+    qm, _ = cfg.qm_rate
+    fp = cfg.fp
+    B = rx_samples.shape[0]
+    n_sc = fp.n_sc
+
+    grid = ofdm_demodulate(fp, rx_samples, cfg.slot)    # (B, R, sym, fft)
+    re_grid = extract_from_grid(fp, grid)               # (B, R, sym, n_sc)
+
+    # --- channel estimation at DMRS symbol(s), averaged over them
+    s = cfg.dmrs_symbols[0]
+    cinit_d = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
+    pil = refsig.dmrs_sequence(cinit_d, 6 * cfg.n_prb)
+    h_layers = []
+    nvars = []
+    for port in range(cfg.n_layers):
+        wf, delta = refsig.dmrs_type1_port_weights(port)
+        sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta)
+        yp = re_grid[:, :, s, :][..., jnp.asarray(sc)]   # (B, R, P)
+        ls = ce.ls_estimate(yp, pil)
+        if cfg.n_layers > 1:
+            # CDM separation: average pilot pairs with the port's OCC
+            w = jnp.asarray(np.tile(wf, 3 * cfg.n_prb), dtype=jnp.complex64)
+            ls = ls * jnp.conj(w)
+            pair = ls.reshape(*ls.shape[:-1], -1, 2).mean(axis=-1)
+            hp = jnp.repeat(pair, 2, axis=-1)
+        else:
+            hp = ls
+        nvars.append(ce.noise_variance(yp, ls, pil))
+        h = ce.comb2_interpolate(hp, n_sc, delta)
+        h_layers.append(h)
+    h_est = jnp.stack(h_layers, axis=2)  # (B, R, L, n_sc)
+    nvar = jnp.mean(jnp.stack(nvars), axis=0).mean(axis=-1)  # (B,)
+
+    # --- equalize data symbols
+    data_syms = list(cfg.data_symbols)
+    y = re_grid[:, :, jnp.asarray(data_syms), :]        # (B, R, S, n_sc)
+    m_per_sym = 12 * cfg.n_prb
+    y = y[..., :m_per_sym]
+    h = h_est[..., :m_per_sym]
+    if cfg.n_layers == 1:
+        x, mag = _mrc_over_syms(h[:, :, 0, :], y)
+        x = x[:, None]                                   # (B, 1, S, n_sc)
+        mag = mag[:, None]
+    else:
+        x, mag = _mmse_over_syms(h, y, nvar)
+    # back to codeword order: (B, L, S, M) -> LLRs -> layer demap
+    x_f = x.reshape(B, cfg.n_layers, -1)
+    mag_f = mag.reshape(B, cfg.n_layers, -1)
+    llrs = llr_mod.llrs(x_f, mag_f, qm)                 # (B, L, S*M*qm)
+    # modulate/layer_map sent symbol i to layer i%L, so interleave per-symbol
+    # qm-bit groups across layers to restore codeword order
+    llr_sym = llrs.reshape(B, cfg.n_layers, -1, qm)
+    llr_cw = llr_sym.swapaxes(1, 2).reshape(B, -1)
+    cinit = pusch_cinit(cfg.rnti, 0, cfg.n_id)
+    llr_cw = scramble_llrs(llr_cw, cinit)
+
+    # --- split per CB, deinterleave, rate recover, decode
+    g = ldpc.build_graph(p.bg, p.Z)
+    es = cfg.cb_e_sizes()
+    offs = np.concatenate([[0], np.cumsum(es)])
+    cb_bits = []
+    cb_ok = []
+    new_harq = []
+    for j, E in enumerate(es):
+        f = llr_cw[:, int(offs[j]): int(offs[j + 1])]
+        e = rate_matching.deinterleave_rx(f, qm)
+        buf = None if harq_buffers is None else harq_buffers[j]
+        full = rate_matching.rate_match_rx(g, e, rv, p.F, harq_buffer=buf)
+        new_harq.append(full)
+        bits, ok, _ = ldpc.decode(g, full, n_iters=n_iters)
+        cb_bits.append(bits)
+        cb_ok.append(ok)
+    cbs = jnp.stack(cb_bits, axis=1)                    # (B, C, K)
+    tb_with_crc = segmentation.desegment_tb(cbs, p)
+    tb_ok = crc_ok(tb_with_crc, crc_name)
+    from ..coding.crc import CRC_POLYS
+    Lc = CRC_POLYS[crc_name][0]
+    return {
+        "tb_bits": tb_with_crc[..., :-Lc],
+        "tb_ok": tb_ok,
+        "cb_ok": jnp.stack(cb_ok, axis=1),
+        "llrs": llr_cw,
+        "harq_buffers": new_harq,
+    }
+
+
+def _mrc_over_syms(h, y):
+    """h: (B,R,M), y: (B,R,S,M) -> broadcast MRC over symbols."""
+    x = jnp.sum(jnp.conj(h)[:, :, None, :] * y, axis=1)
+    mag = jnp.sum(jnp.abs(h) ** 2, axis=1)[:, None, :] * jnp.ones_like(x.real)
+    return x, mag
+
+
+def _mmse_over_syms(h, y, nvar):
+    """h: (B,R,L,M), y: (B,R,S,M), nvar (B,) -> (B,L,S,M) compensated."""
+    B, R, L, M = h.shape
+    S = y.shape[2]
+    # block fading: same h for every data symbol of the slot
+    hflat = jnp.broadcast_to(h[:, :, None], (B, R, S, L, M)).transpose(0, 2, 1, 3, 4).reshape(B * S, R, L, M)
+    yflat = y.transpose(0, 2, 1, 3).reshape(B * S, R, M)
+    nv = jnp.repeat(nvar, S)[:, None]
+    if L == 2:
+        x, eff = eq.mmse_equalize_2layer(hflat, yflat, nv)
+    else:
+        x, eff = eq.zf_equalize(hflat, yflat, nv)
+    x = x.reshape(B, S, L, M).transpose(0, 2, 1, 3)
+    eff = eff.reshape(B, S, L, M).transpose(0, 2, 1, 3)
+    return x, eff

@@ -1,0 +1,67 @@
+"""OFDM modulation/demodulation (P1-P4): batched (I)FFT + cyclic prefix.
+
+The reference hand-rolls fixed-point radix FFTs per size with AVX2
+(openair1/PHY/TOOLS/oai_dfts.c) and loops symbols on a thread pool
+(nr_ru_procedures.c:228 nr_fep_full / :144 nr_feptx_ofdm).  On TPU the
+whole slot is one batched float FFT over the (antenna, symbol) dims —
+XLA's FFT runs on the vector unit; the CP handling is static slicing.
+
+Grid convention: freq-domain tensors are (..., symbols, fft_size) with
+DC at index 0 and negative frequencies wrapped (standard FFT order);
+`map_to_grid` places the n_sc occupied subcarriers around DC like the
+reference's first_carrier_offset logic (nr_init.c).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FrameParams
+
+
+def map_to_grid(fp: FrameParams, re_values: jnp.ndarray) -> jnp.ndarray:
+    """(..., symbols, n_sc) occupied REs -> (..., symbols, fft_size) grid.
+
+    RE k (k=0 lowest PRB) lands at FFT bin (first_carrier + k) % fft_size.
+    """
+    n_sc = fp.n_sc
+    lead = re_values.shape[:-1]
+    grid = jnp.zeros((*lead, fp.fft_size), dtype=re_values.dtype)
+    idx = (fp.first_carrier + np.arange(n_sc)) % fp.fft_size
+    return grid.at[..., jnp.asarray(idx)].set(re_values)
+
+
+def extract_from_grid(fp: FrameParams, grid: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of map_to_grid."""
+    idx = (fp.first_carrier + np.arange(fp.n_sc)) % fp.fft_size
+    return grid[..., jnp.asarray(idx)]
+
+
+def ofdm_modulate(fp: FrameParams, grid: jnp.ndarray, slot: int) -> jnp.ndarray:
+    """(..., symbols, fft) freq grid -> (..., samples) time-domain slot.
+
+    IFFT per symbol + CP insertion (PHY_ofdm_mod analog, ofdm_mod.c:125).
+    """
+    x = jnp.fft.ifft(grid, axis=-1).astype(jnp.complex64) * jnp.sqrt(jnp.float32(fp.fft_size))
+    cps = fp.cp_lengths(slot)
+    parts = []
+    for l in range(fp.symbols_per_slot):
+        sym = x[..., l, :]
+        cp = sym[..., -int(cps[l]):]
+        parts.append(jnp.concatenate([cp, sym], axis=-1))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def ofdm_demodulate(fp: FrameParams, samples: jnp.ndarray, slot: int) -> jnp.ndarray:
+    """(..., samples) time-domain slot -> (..., symbols, fft) freq grid.
+
+    CP removal + FFT per symbol (nr_slot_fep_ul analog, slot_fep_nr.c:223).
+    """
+    offs = fp.symbol_offsets(slot)
+    cps = fp.cp_lengths(slot)
+    syms = []
+    for l in range(fp.symbols_per_slot):
+        start = int(offs[l] + cps[l])
+        syms.append(samples[..., start: start + fp.fft_size])
+    x = jnp.stack(syms, axis=-2)
+    return jnp.fft.fft(x, axis=-1).astype(jnp.complex64) / jnp.sqrt(jnp.float32(fp.fft_size))

@@ -1,0 +1,102 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from openairinterface5g_tpu.coding.ldpc import build_graph, check_parity_np, decode, encode
+from openairinterface5g_tpu.coding.rate_matching import rate_match_rx, rate_match_tx
+from openairinterface5g_tpu.data.tables import ALL_LIFTING_SIZES
+
+
+@pytest.mark.parametrize("bg", [1, 2])
+@pytest.mark.parametrize("Z", [2, 16, 52, 104, 208, 384])
+def test_encode_satisfies_parity(bg, Z):
+    g = build_graph(bg, Z)
+    rng = np.random.default_rng(bg * 1000 + Z)
+    info = rng.integers(0, 2, size=(3, g.K)).astype(np.int8)
+    cw = np.asarray(encode(g, jnp.asarray(info)))
+    assert cw.shape == (3, g.cols * Z)
+    np.testing.assert_array_equal(cw[:, : g.K], info)  # systematic
+    for b in range(3):
+        assert check_parity_np(g, cw[b]), f"parity failed bg={bg} Z={Z} b={b}"
+
+
+def test_all_lifting_sizes_build():
+    for Z in ALL_LIFTING_SIZES:
+        build_graph(1, Z)
+        build_graph(2, Z)
+
+
+@pytest.mark.parametrize("bg,Z", [(1, 96), (2, 128)])
+def test_decode_noiseless(bg, Z):
+    g = build_graph(bg, Z)
+    rng = np.random.default_rng(7)
+    info = rng.integers(0, 2, size=(4, g.K)).astype(np.int8)
+    cw = np.asarray(encode(g, jnp.asarray(info))).astype(np.float32)
+    # BPSK LLR, puncture first 2Z (LLR 0) as the rate matcher would
+    llr = (1.0 - 2.0 * cw) * 8.0
+    llr[:, : 2 * Z] = 0.0
+    bits, ok, iters = decode(g, jnp.asarray(llr), n_iters=20)
+    assert bool(ok.all())
+    np.testing.assert_array_equal(np.asarray(bits), info)
+    assert int(iters) <= 6
+
+
+@pytest.mark.parametrize("bg,Z,snr_db", [(1, 384, 4.0), (2, 384, 3.0)])
+def test_decode_awgn_rate_third(bg, Z, snr_db):
+    """Full mother-code rate (~1/3 BG1, ~1/5 BG2) should decode easily at
+    moderate SNR: BLER must be 0 over a small batch."""
+    g = build_graph(bg, Z)
+    rng = np.random.default_rng(123)
+    B = 8
+    info = rng.integers(0, 2, size=(B, g.K)).astype(np.int8)
+    cw = np.asarray(encode(g, jnp.asarray(info))).astype(np.float32)
+    tx = 1.0 - 2.0 * cw
+    sigma = 10 ** (-snr_db / 20)
+    y = tx + sigma * rng.standard_normal(tx.shape).astype(np.float32)
+    llr = 2.0 * y / sigma**2
+    llr[:, : 2 * Z] = 0.0  # punctured
+    bits, ok, _ = decode(g, jnp.asarray(llr), n_iters=25)
+    np.testing.assert_array_equal(np.asarray(bits), info)
+    assert bool(ok.all())
+
+
+@pytest.mark.parametrize("rv", [0, 1, 2, 3])
+def test_rate_match_roundtrip(rv):
+    bg, Z = 1, 64
+    g = build_graph(bg, Z)
+    rng = np.random.default_rng(rv)
+    F = 40
+    info = rng.integers(0, 2, size=(2, g.K)).astype(np.int8)
+    info[:, g.K - F:] = 0  # filler
+    cw = encode(g, jnp.asarray(info))
+    E = 3 * Z * 22  # rate ~1/3 worth of bits
+    e = rate_match_tx(g, cw, rv, E, F)
+    assert e.shape == (2, E)
+    llr_e = (1.0 - 2.0 * np.asarray(e).astype(np.float32)) * 4.0
+    llr_full = rate_match_rx(g, jnp.asarray(llr_e), rv, F)
+    bits, ok, _ = decode(g, llr_full, n_iters=20)
+    assert bool(ok.all())
+    np.testing.assert_array_equal(np.asarray(bits), info)
+
+
+def test_harq_combining_improves():
+    bg, Z = 1, 64
+    g = build_graph(bg, Z)
+    rng = np.random.default_rng(99)
+    info = rng.integers(0, 2, size=(2, g.K)).astype(np.int8)
+    cw = encode(g, jnp.asarray(info))
+    E = int(1.2 * g.K)  # high rate: one round at low SNR should fail
+    sigma = 1.0
+
+    def round_llr(rv):
+        e = np.asarray(rate_match_tx(g, cw, rv, E, 0)).astype(np.float32)
+        y = (1 - 2 * e) + sigma * rng.standard_normal(e.shape).astype(np.float32)
+        return jnp.asarray(2 * y / sigma**2)
+
+    buf = rate_match_rx(g, round_llr(0), 0, 0)
+    buf = rate_match_rx(g, round_llr(2), 2, 0, harq_buffer=buf)
+    buf = rate_match_rx(g, round_llr(3), 3, 0, harq_buffer=buf)
+    bits, ok, _ = decode(g, buf, n_iters=25)
+    assert bool(ok.all())
+    np.testing.assert_array_equal(np.asarray(bits), info)
