@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Headline benchmark: NR PUSCH gNB RX slots/s/chip at 100 MHz 2x2.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the real-time requirement of 2000 slots/s at
+30 kHz SCS (BASELINE.md north star; the reference publishes no absolute
+slots/s — real-time on commodity x86 is its operating point).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from openairinterface5g_tpu.models.pusch import PuschConfig, pusch_rx, pusch_tx
+
+    cfg = PuschConfig(mu=1, n_prb=273, mcs=16, n_layers=2, n_rx=2)
+    B = 4  # slots per dispatch
+
+    rng = np.random.default_rng(0)
+    tb = rng.integers(0, 2, size=(B, cfg.tbs)).astype(np.int8)
+    tx, _ = pusch_tx(cfg, jnp.asarray(tb))
+    tx = jax.block_until_ready(tx)
+    # modest noise so the decoder does realistic work (converges in a few iters)
+    noise = 0.05 * (rng.standard_normal((B, cfg.n_rx, tx.shape[-1]))
+                    + 1j * rng.standard_normal((B, cfg.n_rx, tx.shape[-1])))
+    # 2x2 identity channel + cross-talk
+    rx = tx + 0.1 * tx[:, ::-1, :] + noise.astype(np.complex64)
+    rx = jnp.asarray(rx)
+
+    step = jax.jit(lambda r: pusch_rx(cfg, r, n_iters=8)["tb_ok"])
+    ok = jax.block_until_ready(step(rx))  # compile
+    assert bool(np.asarray(ok).all()), "bench config must decode cleanly"
+
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        ok = step(rx)
+    jax.block_until_ready(ok)
+    dt = time.perf_counter() - t0
+    slots_per_s = B * n_rep / dt
+
+    print(json.dumps({
+        "metric": "pusch_rx_slots_per_s_100mhz_2x2",
+        "value": round(slots_per_s, 2),
+        "unit": "slots/s/chip",
+        "vs_baseline": round(slots_per_s / 2000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

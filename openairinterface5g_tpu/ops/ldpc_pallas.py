@@ -1,0 +1,152 @@
+"""Pallas TPU kernel: LDPC flooding min-sum decoder, fully VMEM-resident.
+
+The performance centerpiece (SURVEY.md P10).  The reference needs
+build-time codegen of per-(BG, Z, rate) AVX2 kernels
+(nrLDPC_decoder/nrLDPC_tools/generator_cnProc/...); here the static
+lifted graph is unrolled at *trace* time into one Pallas program:
+
+* grid = (batch/8,); each program decodes 8 code blocks with the CB dim
+  on the 8 sublanes and the lifting dim Z on the lanes, so every edge
+  message is one (8, Z) vector register tile.
+* all messages live in VMEM for the whole decode: c2v (E, 8, Z) f32 plus
+  column totals — zero HBM traffic between iterations (the reference
+  streams cnProcBuf/bnProcBuf through L1/L2 per iteration).
+* cyclic shifts are static-jnp.roll on the lane axis (the graph is
+  static), replacing the reference's LUT-driven shuffles.
+
+Messages are stored in VN (unrotated) orientation so variable-node
+accumulation is pure adds; rotations happen only inside the check-node
+pass (rotate v2c by -shift, rotate the min-sum result back by +shift).
+Each edge belongs to exactly one check row, so updating c2v in the row
+loop while totals stay fixed preserves the flooding schedule.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..coding.ldpc import LDPCGraph, build_graph
+
+_BIG = np.float32(1e30)
+
+
+def _edges(graph: LDPCGraph):
+    """Static edge list grouped by row: [(row, [(col, shift), ...]), ...]."""
+    out = []
+    for r in range(graph.rows):
+        cols = np.nonzero(graph.tab[r] >= 0)[0]
+        out.append((r, [(int(c), int(graph.tab[r, c])) for c in cols]))
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float):
+    graph = build_graph(bg, Z)
+    rows_edges = _edges(graph)
+    C = graph.cols
+    E = sum(len(es) for _, es in rows_edges)
+    # flat edge index per (row-local order)
+    edge_base = np.cumsum([0] + [len(es) for _, es in rows_edges])
+
+    def kernel(llr_ref, bits_ref, c2v, totals):
+        # llr_ref, bits_ref: (C, 8, Z); c2v: (E, 8, Z); totals: (C, 8, Z)
+        c2v[...] = jnp.zeros((E, 8, Z), jnp.float32)
+        totals[...] = llr_ref[...]
+
+        def one_iter(_, carry):
+            # --- check-node pass (totals fixed, c2v per-edge update) ---
+            for ri, (r, es) in enumerate(rows_edges):
+                base = int(edge_base[ri])
+                rot = []
+                for d, (c, s) in enumerate(es):
+                    v2c = totals[c] - c2v[base + d]
+                    rot.append(jnp.roll(v2c, -s, axis=-1))
+                # min1/min2/sign across the row
+                m1 = jnp.full_like(rot[0], _BIG)
+                m2 = jnp.full_like(rot[0], _BIG)
+                sgn = jnp.zeros_like(rot[0], dtype=jnp.int32)
+                mags = []
+                for v in rot:
+                    a = jnp.abs(v)
+                    mags.append(a)
+                    new_m1 = jnp.minimum(m1, a)
+                    m2 = jnp.minimum(m2, jnp.maximum(m1, a))
+                    m1 = new_m1
+                    sgn = sgn ^ (v < 0).astype(jnp.int32)
+                for d, (c, s) in enumerate(es):
+                    mag = jnp.where(mags[d] == m1, m2, m1) * np.float32(alpha)
+                    neg = sgn ^ (rot[d] < 0).astype(jnp.int32)
+                    val = jnp.where(neg == 1, -mag, mag)
+                    c2v[base + d] = jnp.roll(val, s, axis=-1)
+            # --- variable-node pass ---
+            totals[...] = llr_ref[...]
+            for ri, (r, es) in enumerate(rows_edges):
+                base = int(edge_base[ri])
+                for d, (c, s) in enumerate(es):
+                    totals[c] = totals[c] + c2v[base + d]
+            return carry
+
+        jax.lax.fori_loop(0, n_iters, one_iter, 0)
+        bits_ref[...] = (totals[...] < 0).astype(jnp.int8)
+
+    def run(llr8):
+        """llr8: (C, n_groups*8, Z) f32 -> bits (C, n_groups*8, Z) int8."""
+        n_groups = llr8.shape[1] // 8
+        return pl.pallas_call(
+            kernel,
+            grid=(n_groups,),
+            in_specs=[pl.BlockSpec((C, 8, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((C, 8, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(llr8.shape, jnp.int8),
+            scratch_shapes=[
+                pltpu.VMEM((E, 8, Z), jnp.float32),
+                pltpu.VMEM((C, 8, Z), jnp.float32),
+            ],
+        )(llr8)
+
+    return run, graph
+
+
+def decode_pallas(
+    graph: LDPCGraph,
+    llr: jnp.ndarray,
+    n_iters: int = 12,
+    alpha: float = 0.8125,
+):
+    """Pallas-kernel decode: (B, cols*Z) LLRs -> (bits (B, K) int8, ok (B,)).
+
+    B is padded up to a multiple of 8 internally.  Parity check runs as a
+    cheap XLA epilogue on the hard bits.
+    """
+    B = llr.shape[0]
+    Z, C = graph.Z, graph.cols
+    run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha)
+    Bp = -(-B // 8) * 8
+    x = llr.astype(jnp.float32).reshape(B, C, Z)
+    if Bp != B:
+        x = jnp.concatenate([x, jnp.zeros((Bp - B, C, Z), jnp.float32)], axis=0)
+    x = x.transpose(1, 0, 2)                      # (C, Bp, Z)
+    bits = run(x).transpose(1, 0, 2)              # (Bp, C, Z)
+    bits = bits[:B].reshape(B, C * Z)
+    ok = _parity_ok(g, bits)
+    return bits[:, : g.K], ok
+
+
+def _parity_ok(graph: LDPCGraph, bits: jnp.ndarray) -> jnp.ndarray:
+    """Syndrome check on hard bits (XLA, not in-kernel)."""
+    B = bits.shape[0]
+    b = bits.reshape(B, graph.cols, graph.Z)
+    ok = jnp.ones((B,), bool)
+    syn_any = jnp.zeros((B,), jnp.int32)
+    for r in range(graph.rows):
+        syn = jnp.zeros((B, graph.Z), jnp.int32)
+        for c in np.nonzero(graph.tab[r] >= 0)[0]:
+            s = int(graph.tab[r, c])
+            syn = syn ^ jnp.roll(b[:, c].astype(jnp.int32), -s, axis=-1)
+        syn_any = syn_any | jnp.max(syn, axis=-1)
+    return syn_any == 0

@@ -1,0 +1,150 @@
+"""nr_ulsim equivalent: PUSCH BLER/throughput simulator.
+
+Mirrors the reference simulator's loop structure and pass criteria
+(openair1/SIMULATION/NR_PHY/ulsim.c:143 main, :915 SNR loop, :1498
+result prints, "PUSCH test OK" gate) — but the whole Monte-Carlo batch
+at each SNR is ONE jitted TPU program: trials are a batch dim, HARQ
+rounds an unrolled loop with LLR-buffer combining.
+
+Usage:
+  python -m openairinterface5g_tpu.sim.ulsim -m 9 -R 106 -s 0 -S 10 -n 100
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+HARQ_RV_SEQ = (0, 2, 3, 1)  # nr_rv_round_map (gNB_scheduler.c:56)
+
+
+def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.pusch import pusch_rx, pusch_tx
+    from ..sim.channel import ChannelModel, add_noise, apply_channel
+
+    model = ChannelModel(channel_name, cfg.n_layers, cfg.n_rx, cfg.fp.sample_rate)
+
+    @jax.jit
+    def step(key, tb, snr_db):
+        """One batch of trials at one SNR. Returns ok_round (rounds, B) bool.
+
+        SNR definition matches ulsim.c:1190: noise variance relative to the
+        per-sample signal power scaled by ofdm_symbol_size/(12*n_rb), i.e.
+        SNR is per occupied resource element.
+        """
+        oks = []
+        harq = None
+        for r, rv in enumerate(HARQ_RV_SEQ[:max_rounds]):
+            key, k1, k2 = jax.random.split(key, 3)
+            tx, _ = pusch_tx(cfg, tb, rv=rv)
+            sig = jnp.mean(jnp.sum(jnp.abs(tx) ** 2, axis=-2))
+            sigma2 = sig * (cfg.fp.fft_size / cfg.fp.n_sc) * 10 ** (-snr_db / 10)
+            rx, _ = apply_channel(model, k1, tx)
+            rx = add_noise(k2, rx, sigma2)
+            out = pusch_rx(cfg, rx, rv=rv, n_iters=n_iters, harq_buffers=harq)
+            harq = out["harq_buffers"]
+            oks.append(out["tb_ok"])
+        return jnp.stack(oks)
+
+    return step
+
+
+def run_sweep(cfg, snrs, n_trials: int, batch: int, max_rounds: int = 1,
+              n_iters: int = 20, channel: str = "AWGN", eff_tp_check: float = 70.0,
+              seed: int = 42, verbose: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    step = build_step(cfg, max_rounds, n_iters, channel)
+    rng = np.random.default_rng(seed)
+    results = []
+    all_pass = True
+    for snr_db in snrs:
+        n_done = 0
+        ok_first = 0          # round-0 successes
+        ok_any = 0
+        rounds_used = 0
+        t0 = time.time()
+        while n_done < n_trials:
+            B = min(batch, n_trials - n_done)
+            tb = jnp.asarray(rng.integers(0, 2, size=(batch, cfg.tbs)).astype(np.int8))
+            key = jax.random.PRNGKey(rng.integers(1 << 30))
+            oks = np.asarray(step(key, tb, jnp.float32(snr_db)))[:, :B]
+            ok_first += int(oks[0].sum())
+            any_ok = oks.any(axis=0)
+            ok_any += int(any_ok.sum())
+            first_round = np.where(any_ok, oks.argmax(axis=0) + 1, max_rounds)
+            rounds_used += int(first_round.sum())
+            n_done += B
+        dt = time.time() - t0
+        bler = 1.0 - ok_any / n_done
+        bler_r0 = 1.0 - ok_first / n_done
+        avg_rounds = rounds_used / n_done
+        eff_rate = cfg.tbs * (ok_any / n_done) / avg_rounds
+        eff_tp = 100.0 * (ok_any / n_done) / avg_rounds
+        results.append({
+            "snr_db": float(snr_db), "bler": bler, "bler_round0": bler_r0,
+            "avg_rounds": avg_rounds, "eff_rate_bits_per_slot": eff_rate,
+            "eff_throughput_pct": eff_tp, "trials": n_done, "wall_s": dt,
+        })
+        if verbose:
+            print(f"SNR {snr_db:6.2f} dB | BLER {bler:.6f} (round0 {bler_r0:.6f}) | "
+                  f"avg rounds {avg_rounds:.2f} | eff rate {eff_rate:.1f} bits/slot | "
+                  f"eff TP {eff_tp:.2f}% | {n_done} trials in {dt:.1f}s")
+        if eff_tp < eff_tp_check:
+            all_pass = False
+    return results, all_pass
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="PUSCH BLER simulator (nr_ulsim analog)")
+    ap.add_argument("-m", "--mcs", type=int, default=9)
+    ap.add_argument("-R", "--n-prb", type=int, default=106)
+    ap.add_argument("-q", "--mcs-table", type=int, default=1)
+    ap.add_argument("-s", "--snr0", type=float, default=0.0)
+    ap.add_argument("-S", "--snr1", type=float, default=None)
+    ap.add_argument("--snr-step", type=float, default=1.0)
+    ap.add_argument("-n", "--n-trials", type=int, default=100)
+    ap.add_argument("-b", "--batch", type=int, default=None)
+    ap.add_argument("-u", "--mu", type=int, default=1)
+    ap.add_argument("-W", "--n-layers", type=int, default=1)
+    ap.add_argument("-y", "--n-rx", type=int, default=1)
+    ap.add_argument("-g", "--channel", type=str, default="AWGN",
+                    choices=["AWGN", "TDLA", "TDLB", "TDLC"])
+    ap.add_argument("-M", "--max-rounds", type=int, default=1)
+    ap.add_argument("-I", "--n-iters", type=int, default=20)
+    ap.add_argument("-t", "--eff-tp-check", type=float, default=70.0)
+    ap.add_argument("--json", action="store_true", help="emit JSON results")
+    args = ap.parse_args(argv)
+
+    from ..models.pusch import PuschConfig
+
+    cfg = PuschConfig(mu=args.mu, n_prb=args.n_prb, mcs=args.mcs,
+                      mcs_table=args.mcs_table, n_layers=args.n_layers,
+                      n_rx=args.n_rx)
+    p, _ = cfg.seg_params()
+    print(f"PUSCH sim: {args.n_prb} PRB mu={args.mu} MCS {args.mcs} "
+          f"(Qm={cfg.qm_rate[0]} R={cfg.qm_rate[1]:.3f}) {args.n_layers}x{args.n_rx} "
+          f"TBS {cfg.tbs} C={p.C} Z={p.Z} G={cfg.G} channel={args.channel}")
+    snr1 = args.snr1 if args.snr1 is not None else args.snr0
+    snrs = np.arange(args.snr0, snr1 + 1e-9, args.snr_step)
+    batch = args.batch or max(1, min(64, args.n_trials))
+    results, ok = run_sweep(cfg, snrs, args.n_trials, batch,
+                            max_rounds=args.max_rounds, n_iters=args.n_iters,
+                            channel=args.channel, eff_tp_check=args.eff_tp_check)
+    if args.json:
+        print(json.dumps(results))
+    # same pass string the reference CI greps for (test_case_list.xml)
+    print("PUSCH test OK" if ok else "PUSCH test NOK")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
