@@ -18,6 +18,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the 273-PRB graphs take minutes to compile
+    # cold over the remote-compile tunnel, seconds warm
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from openairinterface5g_tpu.models.pusch import PuschConfig, pusch_rx, pusch_tx
 
     cfg = PuschConfig(mu=1, n_prb=273, mcs=16, n_layers=2, n_rx=2)
@@ -25,8 +33,9 @@ def main():
 
     rng = np.random.default_rng(0)
     tb = rng.integers(0, 2, size=(B, cfg.tbs)).astype(np.int8)
-    tx, _ = pusch_tx(cfg, jnp.asarray(tb))
-    tx = jax.block_until_ready(tx)
+    tx_fn = jax.jit(lambda t: pusch_tx(cfg, t)[0])
+    tx = jax.block_until_ready(tx_fn(jnp.asarray(tb)))
+    tx = np.asarray(tx)
     # modest noise so the decoder does realistic work (converges in a few iters)
     noise = 0.05 * (rng.standard_normal((B, cfg.n_rx, tx.shape[-1]))
                     + 1j * rng.standard_normal((B, cfg.n_rx, tx.shape[-1])))

@@ -1,0 +1,129 @@
+"""gNB per-slot pipeline: concurrent DL TX + UL RX with FAPI-shaped PDUs.
+
+TPU-native analog of the reference slot machinery:
+  - DL: phy_procedures_gNB_TX (openair1/SCHED_NR/phy_procedures_nr_gNB.c:157)
+    driven by the DL_TTI.request contents (nfapi_nr_dl_tti_request_t) —
+    here a typed SlotDlConfig of PDU dataclasses.
+  - UL: phy_procedures_gNB_uespec_RX (:708) driven by UL_TTI.request —
+    SlotUlConfig; results come back as indication dicts mirroring
+    rx_data.indication / crc.indication / uci.indication / rach.indication
+    (openair2/NR_PHY_INTERFACE/NR_IF_Module.c:432 NR_UL_indication).
+
+All PDUs of a slot are composed on ONE resource grid, then a single
+OFDM pass runs per direction — the reference's per-channel thread jobs
+become grid writes that XLA fuses.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FrameParams, make_frame_params
+from ..phy.ofdm import extract_from_grid, map_to_grid, ofdm_demodulate, ofdm_modulate
+from .pbch import PbchConfig, ssb_generate
+from .pdsch import PdschConfig
+from .pucch import Pucch0Config, Pucch2Config, pucch0_rx, pucch2_rx
+from .pusch import PuschConfig, pusch_rx_grid, pusch_tx_grid
+
+
+@dataclasses.dataclass(frozen=True)
+class SsbPdu:
+    cfg: PbchConfig
+    prb_offset: int = 0      # lowest PRB of the 20-PRB SSB block
+
+
+@dataclasses.dataclass(frozen=True)
+class SlotDlConfig:
+    """DL_TTI.request analog: what to transmit this slot."""
+    mu: int
+    n_bwp_prb: int
+    pdsch: tuple = ()        # tuple[PdschConfig] with disjoint PRB ranges
+    ssb: SsbPdu | None = None
+    slot: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class SlotUlConfig:
+    """UL_TTI.request analog: what to receive this slot."""
+    mu: int
+    n_bwp_prb: int
+    pusch: tuple = ()        # tuple[PuschConfig]
+    pucch0: tuple = ()       # tuple[(Pucch0Config, prb)]
+    pucch2: tuple = ()       # tuple[(Pucch2Config, prb_start)]
+    slot: int = 0
+
+
+def gnb_dl_slot(dl: SlotDlConfig, tb_payloads: Sequence[jnp.ndarray],
+                mib_payload: jnp.ndarray | None = None):
+    """Compose + transmit one DL slot.
+
+    tb_payloads[i]: (B, TBS_i) bits for pdsch[i]; mib_payload: (B, 32).
+    Returns (samples (B, n_ant, n_samp), per-pdu scrambled bits).
+    """
+    fp = make_frame_params(dl.mu, dl.n_bwp_prb)
+    assert dl.pdsch or dl.ssb is not None
+    B = (tb_payloads[0].shape[0] if dl.pdsch else mib_payload.shape[0])
+    n_ant = max([p.n_layers for p in dl.pdsch] or [1])
+    grid_re = jnp.zeros((B, n_ant, fp.symbols_per_slot, fp.n_sc), jnp.complex64)
+    debug_bits = []
+    for cfg, tb in zip(dl.pdsch, tb_payloads):
+        g, scr = pusch_tx_grid(cfg, tb)
+        grid_re = grid_re.at[:, : cfg.n_layers].add(g)
+        debug_bits.append(scr)
+    if dl.ssb is not None:
+        tile = ssb_generate(dl.ssb.cfg, mib_payload)     # (B, 4, 240)
+        sc0 = 12 * dl.ssb.prb_offset
+        # SSB occupies symbols 2..5 of the slot (case C analog)
+        grid_re = grid_re.at[:, 0, 2:6, sc0: sc0 + 240].add(tile)
+    grid = map_to_grid(fp, grid_re)
+    return ofdm_modulate(fp, grid, dl.slot), debug_bits
+
+
+def gnb_ul_slot(ul: SlotUlConfig, rx_samples: jnp.ndarray,
+                n_iters: int = 12, harq=None):
+    """Receive one UL slot -> indication dicts.
+
+    rx_samples: (B, n_rx, n_samp).  Returns dict with keys:
+      crc_indication: list per PUSCH pdu of (tb_ok (B,), cb_ok (B, C))
+      rx_data: list per PUSCH pdu of tb_bits (B, TBS)
+      uci0 / uci2: per PUCCH pdu results
+      harq: new HARQ LLR buffers per pdu
+    """
+    fp = make_frame_params(ul.mu, ul.n_bwp_prb)
+    grid = ofdm_demodulate(fp, rx_samples, ul.slot)
+    re_grid = extract_from_grid(fp, grid)
+
+    crc_ind, rx_data, new_harq = [], [], []
+    for j, cfg in enumerate(ul.pusch):
+        out = pusch_rx_grid(cfg, re_grid, n_iters=n_iters,
+                            harq_buffers=None if harq is None else harq[j])
+        crc_ind.append({"tb_ok": out["tb_ok"], "cb_ok": out["cb_ok"]})
+        rx_data.append(out["tb_bits"])
+        new_harq.append(out["harq_buffers"])
+
+    uci0 = []
+    for cfg0, prb in ul.pucch0:
+        sc = 12 * prb
+        rx0 = re_grid[:, :, cfg0.start_symbol: cfg0.start_symbol + cfg0.n_symbols,
+                      sc: sc + 12]
+        uci, metric = pucch0_rx(cfg0, rx0)
+        uci0.append({"uci": uci, "metric": metric})
+
+    uci2 = []
+    for cfg2, prb in ul.pucch2:
+        sc = 12 * prb
+        rx2 = re_grid[:, :, cfg2.start_symbol: cfg2.start_symbol + cfg2.n_symbols,
+                      sc: sc + 12 * cfg2.n_prb]
+        uci, ok = pucch2_rx(cfg2, rx2)
+        uci2.append({"uci": uci, "ok": ok})
+
+    return {
+        "crc_indication": crc_ind,
+        "rx_data": rx_data,
+        "uci0": uci0,
+        "uci2": uci2,
+        "harq": new_harq,
+    }

@@ -1,0 +1,189 @@
+"""PUCCH formats 0 and 2 (P26 analog): UCI TX + gNB RX.
+
+Reference anchors: nr_decode_pucch0 (openair1/PHY/NR_TRANSPORT/
+pucch_rx.c:150), nr_decode_pucch2 (:1014), UE TX pucch_nr.c:54-834.
+
+Format 0: sequence selection — a length-12 low-PAPR sequence cyclically
+shifted by the UCI value; detection is one correlation matmul against
+all candidate shifts (batched over trials/occasions).
+Format 2: UCI bits -> small block (<=11 bits) or polar (>=12) -> QPSK
+over N PRBs with comb DMRS; RX = LS estimate + MRC + LLR + decode.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..coding import polar, small_block
+from ..coding.crc import crc_attach, CRC_POLYS
+from ..data.tables import _load_npz
+from ..phy import refsig
+from ..phy.channel_estimation import ls_estimate
+from ..phy.llr import llrs as llr_compute
+from ..phy.modulation import modulate
+from ..phy.scrambling import gold_sequence, scramble_llrs
+
+
+# --------------------------------------------------------------------------
+# Low-PAPR sequences (TS 38.211 §5.2.2)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def low_papr_base(u: int, m_zc: int = 12) -> np.ndarray:
+    """r_u(n) = exp(j*phi(n)*pi/4) for M_ZC in {6,12,18,24}."""
+    phi = _load_npz()[f"phi{m_zc}"][u]
+    return np.exp(1j * phi.astype(np.float64) * np.pi / 4).astype(np.complex64)
+
+
+def cyclic_shifted(u: int, alpha_idx: int, m_zc: int = 12) -> np.ndarray:
+    """r_{u,alpha}(n) = e^{j*2*pi*alpha_idx*n/m_zc} r_u(n)."""
+    base = low_papr_base(u, m_zc)
+    n = np.arange(m_zc)
+    return (np.exp(2j * np.pi * alpha_idx * n / m_zc) * base).astype(np.complex64)
+
+
+# --------------------------------------------------------------------------
+# Format 0
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Pucch0Config:
+    n_bits: int = 1             # 1 or 2 HARQ-ACK bits
+    initial_cs: int = 0
+    hopping_id: int = 0
+    n_symbols: int = 1
+    start_symbol: int = 13
+
+    @property
+    def shifts(self) -> tuple:
+        """m_cs per UCI value (TS 38.213 Table 9.2.3-3/-4)."""
+        return (0, 6) if self.n_bits == 1 else (0, 3, 6, 9)
+
+
+def pucch0_tx(cfg: Pucch0Config, uci: jnp.ndarray) -> jnp.ndarray:
+    """(B,) UCI values -> (B, n_symbols, 12) sequence symbols.
+
+    Group/sequence hopping off: u = hopping_id % 30 (simplified).
+    """
+    u = cfg.hopping_id % 30
+    cands = np.stack([cyclic_shifted(u, (cfg.initial_cs + m) % 12) for m in range(12)])
+    table = jnp.asarray(cands)  # (12, 12)
+    mcs = jnp.asarray(np.array(cfg.shifts, dtype=np.int32))[uci]
+    seq = jnp.take(table, mcs % 12, axis=0)  # (B, 12)
+    return jnp.repeat(seq[:, None, :], cfg.n_symbols, axis=1)
+
+
+def pucch0_rx(cfg: Pucch0Config, rx: jnp.ndarray):
+    """(B, n_rx, n_symbols, 12) received REs -> (uci (B,), metric).
+
+    Correlates against all candidate shifts (nr_decode_pucch0 analog) —
+    one matmul on the MXU; also returns the max/second metric ratio as a
+    DTX-detection statistic.
+    """
+    u = cfg.hopping_id % 30
+    cands = np.stack([cyclic_shifted(u, (cfg.initial_cs + m) % 12)
+                      for m in cfg.shifts])           # (n_cand, 12)
+    table = jnp.asarray(np.conj(cands))
+    corr = jnp.einsum("brsk,ck->brsc", rx, table)     # coherent per symbol
+    energy = jnp.sum(jnp.abs(corr) ** 2, axis=(1, 2))  # (B, n_cand)
+    uci = jnp.argmax(energy, axis=-1)
+    return uci, energy
+
+
+# --------------------------------------------------------------------------
+# Format 2
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Pucch2Config:
+    n_bits: int = 4
+    n_prb: int = 4
+    n_symbols: int = 1
+    start_symbol: int = 13
+    rnti: int = 0x1234
+    n_id: int = 0       # scrambling id
+    n_id0: int = 0      # DMRS scrambling
+
+    @property
+    def data_sc_per_prb(self) -> int:
+        return 8  # DMRS on SCs 1,4,7,10 per PRB (38.211 6.4.1.3.2.2)
+
+    @property
+    def E(self) -> int:
+        return self.data_sc_per_prb * self.n_prb * self.n_symbols * 2  # QPSK
+
+
+def _pucch2_positions(cfg: Pucch2Config):
+    sc = np.arange(12 * cfg.n_prb)
+    dmrs = sc[sc % 3 == 1]
+    data = sc[sc % 3 != 1]
+    return data.astype(np.int32), dmrs.astype(np.int32)
+
+
+def pucch2_encode(cfg: Pucch2Config, uci: jnp.ndarray) -> jnp.ndarray:
+    """(B, n_bits) -> (B, E) coded bits (small block or polar+CRC)."""
+    if cfg.n_bits <= 11:
+        cw = small_block.encode(uci)
+        # rate match by circular repetition to E
+        reps = -(-cfg.E // 32)
+        return jnp.tile(cw, (1, reps))[:, :cfg.E]
+    crc_name = "11" if cfg.n_bits >= 20 else "6"
+    n_pc = 0 if cfg.n_bits >= 20 else 3
+    K = cfg.n_bits + CRC_POLYS[crc_name][0]
+    p = polar.polar_params(K=K, E=cfg.E, n_max=10, i_il=False, n_pc=n_pc, i_bil=True)
+    return polar.encode(p, crc_attach(uci, crc_name))
+
+
+def pucch2_tx(cfg: Pucch2Config, uci: jnp.ndarray) -> jnp.ndarray:
+    """(B, n_bits) UCI -> (B, n_symbols, 12*n_prb) REs (data + DMRS)."""
+    B = uci.shape[0]
+    bits = pucch2_encode(cfg, uci)
+    cinit = (cfg.rnti << 15) + cfg.n_id
+    c = gold_sequence(jnp.uint32(cinit), cfg.E)
+    syms = modulate(bits ^ c, 2).reshape(B, cfg.n_symbols, -1)
+    data_sc, dmrs_sc = _pucch2_positions(cfg)
+    grid = jnp.zeros((B, cfg.n_symbols, 12 * cfg.n_prb), jnp.complex64)
+    grid = grid.at[:, :, jnp.asarray(data_sc)].set(syms)
+    for s in range(cfg.n_symbols):
+        cinit_d = refsig.dmrs_cinit(0, cfg.start_symbol + s, cfg.n_id0)
+        pil = refsig.dmrs_sequence(cinit_d, len(dmrs_sc))
+        grid = grid.at[:, s, jnp.asarray(dmrs_sc)].set(pil)
+    return grid
+
+
+def pucch2_rx(cfg: Pucch2Config, rx: jnp.ndarray, list_size: int = 8):
+    """(B, n_rx, n_symbols, 12*n_prb) -> (uci (B, n_bits), ok (B,)).
+
+    ok is a CRC flag for the polar path; for the small-block path it is
+    always True (ML decoding has no CRC; DTX detection is metric-based).
+    """
+    data_sc, dmrs_sc = _pucch2_positions(cfg)
+    hs = []
+    for s in range(cfg.n_symbols):
+        cinit_d = refsig.dmrs_cinit(0, cfg.start_symbol + s, cfg.n_id0)
+        pil = refsig.dmrs_sequence(cinit_d, len(dmrs_sc))
+        yp = rx[:, :, s][..., jnp.asarray(dmrs_sc)]
+        hp = ls_estimate(yp, pil)                     # (B, R, P)
+        # map each data SC to nearest pilot (pilots at 1,4,7,10 per PRB)
+        nearest = np.abs(data_sc[None, :] - dmrs_sc[:, None]).argmin(axis=0)
+        hs.append(hp[..., jnp.asarray(nearest)])
+    h = jnp.stack(hs, axis=2)                         # (B, R, S, D)
+    yd = rx[..., jnp.asarray(data_sc)]
+    x = jnp.sum(jnp.conj(h) * yd, axis=1)
+    mag = jnp.sum(jnp.abs(h) ** 2, axis=1)
+    llr = llr_compute(x.reshape(x.shape[0], -1), mag.reshape(x.shape[0], -1), 2)
+    cinit = (cfg.rnti << 15) + cfg.n_id
+    llr = scramble_llrs(llr, jnp.uint32(cinit))
+    if cfg.n_bits <= 11:
+        folded = jnp.zeros((llr.shape[0], 32), llr.dtype)
+        folded = folded.at[:, jnp.asarray(np.arange(cfg.E) % 32)].add(llr)
+        uci = small_block.decode(folded, cfg.n_bits)
+        return uci, jnp.ones(uci.shape[0], bool)
+    crc_name = "11" if cfg.n_bits >= 20 else "6"
+    n_pc = 0 if cfg.n_bits >= 20 else 3
+    K = cfg.n_bits + CRC_POLYS[crc_name][0]
+    p = polar.polar_params(K=K, E=cfg.E, n_max=10, i_il=False, n_pc=n_pc, i_bil=True)
+    return polar.decode_with_crc(p, llr, crc_name, list_size=list_size)

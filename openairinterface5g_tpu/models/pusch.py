@@ -49,10 +49,21 @@ class PuschConfig:
     n_id: int = 0
     slot: int = 0
     transform_precoding: bool = False
+    prb_start: int = 0               # allocation offset within the BWP
+    n_bwp_prb: int | None = None     # carrier/BWP width (defaults to n_prb)
+
+    @property
+    def bwp_prbs(self) -> int:
+        return self.n_bwp_prb if self.n_bwp_prb is not None else self.n_prb
+
+    @property
+    def sc0(self) -> int:
+        """First subcarrier of the allocation within the BWP grid."""
+        return 12 * self.prb_start
 
     @property
     def fp(self) -> FrameParams:
-        return make_frame_params(self.mu, self.n_prb)
+        return make_frame_params(self.mu, self.bwp_prbs)
 
     @property
     def qm_rate(self):
@@ -103,11 +114,10 @@ class PuschConfig:
 # TX
 # --------------------------------------------------------------------------
 
-def pusch_tx(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
-    """(batch, TBS) payload bits -> (batch, n_tx_ant(=n_layers), samples).
-
-    Returns (tx_samples, tx_bits_f) where tx_bits_f is the scrambled
-    codeword (for debug/BER counting).
+def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
+    """(batch, TBS) payload bits -> ((B, L, symbols, n_sc_bwp) RE grid,
+    scrambled codeword bits).  Grid-level entry so the gNB slot pipeline
+    can sum multiple channels before one OFDM pass.
     """
     p, crc_name = cfg.seg_params()
     qm, _ = cfg.qm_rate
@@ -127,15 +137,20 @@ def pusch_tx(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
     cinit = pusch_cinit(cfg.rnti, 0, cfg.n_id)
     scrambled = scramble(codeword, cinit)
     syms = mod.modulate(scrambled, qm)                  # (B, G/qm)
+    if cfg.transform_precoding:
+        assert cfg.n_layers == 1, "transform precoding is single-layer (38.211)"
+        from ..phy.transform_precoding import dft_spread
+        syms = dft_spread(syms, 12 * cfg.n_prb)
     layers = mod.layer_map(syms, cfg.n_layers)          # (B, L, M)
 
-    # RE grid: (B, L, symbols, n_sc)
+    # RE grid: (B, L, symbols, n_sc_bwp); allocation offset by cfg.sc0
     fp = cfg.fp
     n_sc = fp.n_sc
     grid_re = jnp.zeros((B, cfg.n_layers, fp.symbols_per_slot, n_sc), jnp.complex64)
     m_per_sym = 12 * cfg.n_prb
+    a0 = cfg.sc0
     for i, s in enumerate(cfg.data_symbols):
-        grid_re = grid_re.at[:, :, s, :m_per_sym].set(
+        grid_re = grid_re.at[:, :, s, a0: a0 + m_per_sym].set(
             layers[..., i * m_per_sym: (i + 1) * m_per_sym])
 
     # DMRS insertion (type 1, single symbol, ports 0..L-1)
@@ -144,10 +159,17 @@ def pusch_tx(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
         pil = refsig.dmrs_sequence(cinit_d, 6 * cfg.n_prb)
         for port in range(cfg.n_layers):
             wf, delta = refsig.dmrs_type1_port_weights(port)
-            sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta)
+            sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta) + a0
             w = jnp.asarray(np.tile(wf, 3 * cfg.n_prb), dtype=jnp.complex64)
             grid_re = grid_re.at[:, port, s, jnp.asarray(sc)].set(pil * w)
 
+    return grid_re, scrambled
+
+
+def pusch_tx(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
+    """(batch, TBS) payload bits -> (batch, n_tx_ant(=n_layers), samples)."""
+    grid_re, scrambled = pusch_tx_grid(cfg, tb_bits, rv)
+    fp = cfg.fp
     grid = map_to_grid(fp, grid_re)
     tx = ofdm_modulate(fp, grid, cfg.slot)              # (B, L, samples)
     return tx, scrambled
@@ -164,14 +186,21 @@ def pusch_rx(cfg: PuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
     Returns dict with tb_bits (B, TBS), tb_ok (B,), cb_ok (B, C),
     llrs (B, G) and harq buffers for combining.
     """
-    p, crc_name = cfg.seg_params()
-    qm, _ = cfg.qm_rate
     fp = cfg.fp
-    B = rx_samples.shape[0]
-    n_sc = fp.n_sc
-
     grid = ofdm_demodulate(fp, rx_samples, cfg.slot)    # (B, R, sym, fft)
     re_grid = extract_from_grid(fp, grid)               # (B, R, sym, n_sc)
+    return pusch_rx_grid(cfg, re_grid, rv=rv, n_iters=n_iters,
+                         harq_buffers=harq_buffers)
+
+
+def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
+                  n_iters: int = 20, harq_buffers=None):
+    """RX from a (batch, n_rx, symbols, n_sc_bwp) resource-element grid."""
+    p, crc_name = cfg.seg_params()
+    qm, _ = cfg.qm_rate
+    B = re_grid.shape[0]
+    m_per_sym = 12 * cfg.n_prb
+    a0 = cfg.sc0
 
     # --- channel estimation at DMRS symbol(s), averaged over them
     s = cfg.dmrs_symbols[0]
@@ -181,7 +210,7 @@ def pusch_rx(cfg: PuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
     nvars = []
     for port in range(cfg.n_layers):
         wf, delta = refsig.dmrs_type1_port_weights(port)
-        sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta)
+        sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta) + a0
         yp = re_grid[:, :, s, :][..., jnp.asarray(sc)]   # (B, R, P)
         ls = ce.ls_estimate(yp, pil)
         if cfg.n_layers > 1:
@@ -193,19 +222,25 @@ def pusch_rx(cfg: PuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
         else:
             hp = ls
         nvars.append(ce.noise_variance(yp, ls, pil))
-        h = ce.comb2_interpolate(hp, n_sc, delta)
+        h = ce.comb2_interpolate(hp, m_per_sym, delta)
         h_layers.append(h)
-    h_est = jnp.stack(h_layers, axis=2)  # (B, R, L, n_sc)
+    h_est = jnp.stack(h_layers, axis=2)  # (B, R, L, m_per_sym)
     nvar = jnp.mean(jnp.stack(nvars), axis=0).mean(axis=-1)  # (B,)
 
     # --- equalize data symbols
     data_syms = list(cfg.data_symbols)
-    y = re_grid[:, :, jnp.asarray(data_syms), :]        # (B, R, S, n_sc)
-    m_per_sym = 12 * cfg.n_prb
-    y = y[..., :m_per_sym]
-    h = h_est[..., :m_per_sym]
+    y = re_grid[:, :, jnp.asarray(data_syms), a0: a0 + m_per_sym]
+    h = h_est
     if cfg.n_layers == 1:
         x, mag = _mrc_over_syms(h[:, :, 0, :], y)
+        if cfg.transform_precoding:
+            from ..phy.transform_precoding import idft_despread
+            S = x.shape[1]
+            xf = x.reshape(B, S * m_per_sym)
+            mf = mag.reshape(B, S * m_per_sym)
+            xd, md = idft_despread(xf, mf, m_per_sym)
+            x = xd.reshape(B, S, m_per_sym)
+            mag = md.reshape(B, S, m_per_sym)
         x = x[:, None]                                   # (B, 1, S, n_sc)
         mag = mag[:, None]
     else:
@@ -221,23 +256,24 @@ def pusch_rx(cfg: PuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
     cinit = pusch_cinit(cfg.rnti, 0, cfg.n_id)
     llr_cw = scramble_llrs(llr_cw, cinit)
 
-    # --- split per CB, deinterleave, rate recover, decode
+    # --- split per CB, deinterleave, rate recover, then ONE batched decode
+    # over the (B*C) dim (the reference's per-CB thread jobs, C2 mapping;
+    # a single decoder instance also keeps compile time flat in C)
     g = ldpc.build_graph(p.bg, p.Z)
     es = cfg.cb_e_sizes()
     offs = np.concatenate([[0], np.cumsum(es)])
-    cb_bits = []
-    cb_ok = []
-    new_harq = []
+    full_llrs = []
     for j, E in enumerate(es):
         f = llr_cw[:, int(offs[j]): int(offs[j + 1])]
         e = rate_matching.deinterleave_rx(f, qm)
         buf = None if harq_buffers is None else harq_buffers[j]
-        full = rate_matching.rate_match_rx(g, e, rv, p.F, harq_buffer=buf)
-        new_harq.append(full)
-        bits, ok, _ = ldpc.decode(g, full, n_iters=n_iters)
-        cb_bits.append(bits)
-        cb_ok.append(ok)
-    cbs = jnp.stack(cb_bits, axis=1)                    # (B, C, K)
+        full_llrs.append(rate_matching.rate_match_rx(g, e, rv, p.F, harq_buffer=buf))
+    new_harq = full_llrs
+    stacked = jnp.stack(full_llrs, axis=1)              # (B, C, N)
+    bits_all, ok_all, _ = ldpc.decode(
+        g, stacked.reshape(B * p.C, -1), n_iters=n_iters)
+    cbs = bits_all.reshape(B, p.C, -1)                  # (B, C, K)
+    cb_ok = ok_all.reshape(B, p.C)
     tb_with_crc = segmentation.desegment_tb(cbs, p)
     tb_ok = crc_ok(tb_with_crc, crc_name)
     from ..coding.crc import CRC_POLYS
@@ -245,7 +281,7 @@ def pusch_rx(cfg: PuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
     return {
         "tb_bits": tb_with_crc[..., :-Lc],
         "tb_ok": tb_ok,
-        "cb_ok": jnp.stack(cb_ok, axis=1),
+        "cb_ok": cb_ok,
         "llrs": llr_cw,
         "harq_buffers": new_harq,
     }

@@ -65,7 +65,7 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float):
                 rot = []
                 for d, (c, s) in enumerate(es):
                     v2c = totals[c] - c2v[base + d]
-                    rot.append(jnp.roll(v2c, -s, axis=-1))
+                    rot.append(jnp.roll(v2c, -s, axis=-1) if s % Z else v2c)
                 # min1/min2/sign across the row
                 m1 = jnp.full_like(rot[0], _BIG)
                 m2 = jnp.full_like(rot[0], _BIG)
@@ -82,7 +82,7 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float):
                     mag = jnp.where(mags[d] == m1, m2, m1) * np.float32(alpha)
                     neg = sgn ^ (rot[d] < 0).astype(jnp.int32)
                     val = jnp.where(neg == 1, -mag, mag)
-                    c2v[base + d] = jnp.roll(val, s, axis=-1)
+                    c2v[base + d] = jnp.roll(val, s, axis=-1) if s % Z else val
             # --- variable-node pass ---
             totals[...] = llr_ref[...]
             for ri, (r, es) in enumerate(rows_edges):

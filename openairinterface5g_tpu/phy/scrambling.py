@@ -49,7 +49,12 @@ def _pack_rows(M: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=64)
 def _gold_tables(length: int):
-    """Host tables: x1 bits (length,) and packed x2 block matrices."""
+    """Host tables: x1 bits (length,) and packed x2 block matrices.
+
+    Cached as NUMPY arrays (not device arrays): a cached device array
+    created in eager context would later be embedded as a jit constant,
+    forcing a device->host fetch the axon backend cannot do.
+    """
     n_blocks = -(-length // 31)
     # x1: x1(n+31) = x1(n+3) + x1(n); init x1(0)=1
     A1 = _advance_matrix((0, 3))
@@ -66,12 +71,14 @@ def _gold_tables(length: int):
     for b in range(n_blocks):
         Apow[b] = _pack_rows(M)
         M = _matmul_gf2(step, M).astype(np.uint8)
-    return jnp.asarray(x1_out.astype(np.int8)), jnp.asarray(Apow)
+    return x1_out.astype(np.int8), Apow
 
 
 def gold_sequence(cinit, length: int) -> jnp.ndarray:
     """c(n) for n in [0, length); cinit may be a traced int32/uint32 scalar."""
-    x1, Apow = _gold_tables(length)
+    x1_np, Apow_np = _gold_tables(length)
+    x1 = jnp.asarray(x1_np)
+    Apow = jnp.asarray(Apow_np)
     s0 = jnp.asarray(cinit).astype(jnp.uint32)
     masked = jnp.bitwise_and(Apow, s0)            # (n_blocks, 31)
     bits = (jnp.bitwise_count(masked) & 1).astype(jnp.int8)

@@ -1,0 +1,72 @@
+import numpy as np
+import jax.numpy as jnp
+
+from openairinterface5g_tpu.models.gnb import (
+    SlotDlConfig, SlotUlConfig, SsbPdu, gnb_dl_slot, gnb_ul_slot,
+)
+from openairinterface5g_tpu.models.pbch import PbchConfig
+from openairinterface5g_tpu.models.pdsch import PdschConfig
+from openairinterface5g_tpu.models.pucch import Pucch0Config, Pucch2Config, pucch0_tx, pucch2_tx
+from openairinterface5g_tpu.models.pusch import PuschConfig, pusch_tx
+
+
+def test_dl_slot_two_ues_plus_ssb():
+    """Two PDSCH allocations + SSB composed on one grid; decode both UEs."""
+    from openairinterface5g_tpu.models.pdsch import pdsch_rx
+    B = 2
+    bwp = 48
+    ue1 = PdschConfig(mu=1, n_prb=12, prb_start=24, n_bwp_prb=bwp, mcs=4,
+                      rnti=0x100, start_symbol=6, n_symbols=8, dmrs_symbols=(7,))
+    ue2 = PdschConfig(mu=1, n_prb=12, prb_start=36, n_bwp_prb=bwp, mcs=9,
+                      rnti=0x200, start_symbol=6, n_symbols=8, dmrs_symbols=(7,))
+    rng = np.random.default_rng(0)
+    tb1 = rng.integers(0, 2, (B, ue1.tbs)).astype(np.int8)
+    tb2 = rng.integers(0, 2, (B, ue2.tbs)).astype(np.int8)
+    mib = rng.integers(0, 2, (B, 32)).astype(np.int8)
+    dl = SlotDlConfig(mu=1, n_bwp_prb=bwp,
+                      pdsch=(ue1, ue2),
+                      ssb=SsbPdu(PbchConfig(n_id=3), prb_offset=0))
+    tx, _ = gnb_dl_slot(dl, [jnp.asarray(tb1), jnp.asarray(tb2)], jnp.asarray(mib))
+    assert tx.shape[1] == 1
+    # each UE decodes its own allocation from the same waveform
+    out1 = pdsch_rx(ue1, tx, n_iters=8)
+    out2 = pdsch_rx(ue2, tx, n_iters=8)
+    assert bool(out1["tb_ok"].all()) and bool(out2["tb_ok"].all())
+    np.testing.assert_array_equal(np.asarray(out1["tb_bits"]), tb1)
+    np.testing.assert_array_equal(np.asarray(out2["tb_bits"]), tb2)
+
+
+def test_ul_slot_pusch_plus_pucch():
+    """PUSCH + PUCCH0 + PUCCH2 in one UL slot, all decoded from one grid."""
+    from openairinterface5g_tpu.phy.ofdm import map_to_grid, ofdm_modulate
+    from openairinterface5g_tpu.config import make_frame_params
+
+    B = 2
+    bwp = 48
+    pusch = PuschConfig(mu=1, n_prb=24, prb_start=0, n_bwp_prb=bwp, mcs=4,
+                        n_symbols=13)
+    p0 = Pucch0Config(n_bits=1, n_symbols=1, start_symbol=13)
+    p2 = Pucch2Config(n_bits=6, n_prb=4, n_symbols=1, start_symbol=13)
+    rng = np.random.default_rng(1)
+    tb = rng.integers(0, 2, (B, pusch.tbs)).astype(np.int8)
+    ack = rng.integers(0, 2, B)
+    csi = rng.integers(0, 2, (B, 6)).astype(np.int8)
+
+    # build the combined UL waveform: PUSCH samples + PUCCH REs on the grid
+    fp = make_frame_params(1, bwp)
+    tx_p, _ = pusch_tx(pusch, jnp.asarray(tb))
+    grid_re = jnp.zeros((B, 1, fp.symbols_per_slot, fp.n_sc), jnp.complex64)
+    seq0 = pucch0_tx(p0, jnp.asarray(ack))           # (B, 1, 12)
+    grid_re = grid_re.at[:, 0, 13, 12 * 30: 12 * 31].set(seq0[:, 0])
+    re2 = pucch2_tx(p2, jnp.asarray(csi))            # (B, 1, 48)
+    grid_re = grid_re.at[:, 0, 13, 12 * 40: 12 * 44].set(re2[:, 0])
+    tx_extra = ofdm_modulate(fp, map_to_grid(fp, grid_re), 0)
+    rx = tx_p + tx_extra
+
+    ul = SlotUlConfig(mu=1, n_bwp_prb=bwp, pusch=(pusch,),
+                      pucch0=((p0, 30),), pucch2=((p2, 40),))
+    out = gnb_ul_slot(ul, rx, n_iters=8)
+    assert bool(out["crc_indication"][0]["tb_ok"].all())
+    np.testing.assert_array_equal(np.asarray(out["rx_data"][0]), tb)
+    np.testing.assert_array_equal(np.asarray(out["uci0"][0]["uci"]), ack)
+    np.testing.assert_array_equal(np.asarray(out["uci2"][0]["uci"]), csi)

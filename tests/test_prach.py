@@ -1,0 +1,45 @@
+import numpy as np
+import jax.numpy as jnp
+
+from openairinterface5g_tpu.models.prach import PrachConfig, prach_rx, prach_tx
+
+
+def test_prach_detection_awgn():
+    cfg = PrachConfig(l_ra=839, roots=(129, 140), n_cs=13)
+    rng = np.random.default_rng(0)
+    B = 8
+    n_pre = len(cfg.roots) * cfg.shifts_per_root
+    pre = rng.integers(0, min(64, n_pre), B)
+    tx = prach_tx(cfg, jnp.asarray(pre))
+    # -14 dB per-sample SNR (prach has 839x processing gain)
+    sigma = 10 ** (14.0 / 20)
+    noise = (rng.standard_normal((B, 2, cfg.l_ra))
+             + 1j * rng.standard_normal((B, 2, cfg.l_ra))) / np.sqrt(2)
+    rx = tx[:, None] * np.exp(1j * 1.1) + sigma * noise.astype(np.complex64)
+    out = prach_rx(cfg, jnp.asarray(rx))
+    assert bool(out["detected"].all())
+    np.testing.assert_array_equal(np.asarray(out["preamble"]), pre)
+
+
+def test_prach_no_false_alarm():
+    cfg = PrachConfig(l_ra=839, roots=(129,), n_cs=13)
+    rng = np.random.default_rng(1)
+    noise = (rng.standard_normal((8, 2, 839)) + 1j * rng.standard_normal((8, 2, 839))) / np.sqrt(2)
+    out = prach_rx(cfg, jnp.asarray(noise.astype(np.complex64)))
+    assert not bool(out["detected"].any())
+
+
+def test_prach_delay_estimate():
+    cfg = PrachConfig(l_ra=839, roots=(129,), n_cs=13)
+    pre = jnp.asarray(np.array([5, 10]))
+    tx = prach_tx(cfg, pre)
+    # apply integer delay d in the 839-domain: phase ramp exp(-j2pi d k/L)
+    d = 3
+    ramp = np.exp(-2j * np.pi * d * np.arange(839) / 839).astype(np.complex64)
+    rx = (np.asarray(tx) * ramp)[:, None]
+    out = prach_rx(cfg, jnp.asarray(rx))
+    assert bool(out["detected"].all())
+    np.testing.assert_array_equal(np.asarray(out["preamble"]), np.asarray(pre))
+    # delay in IFFT samples: d * n_ifft / l_ra ~ 3.66 -> 3 or 4
+    delays = np.asarray(out["delay"])
+    assert np.all((delays >= 3) & (delays <= 4))

@@ -1,0 +1,52 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from openairinterface5g_tpu.models.pucch import (
+    Pucch0Config, Pucch2Config, pucch0_rx, pucch0_tx, pucch2_rx, pucch2_tx,
+)
+
+
+@pytest.mark.parametrize("n_bits", [1, 2])
+def test_pucch0_roundtrip_awgn(n_bits):
+    cfg = Pucch0Config(n_bits=n_bits, n_symbols=2)
+    rng = np.random.default_rng(n_bits)
+    B = 16
+    uci = rng.integers(0, 1 << n_bits, B)
+    tx = pucch0_tx(cfg, jnp.asarray(uci))
+    sigma = 10 ** (2.0 / 20)  # -2 dB SNR
+    noise = (rng.standard_normal((B, 1, cfg.n_symbols, 12))
+             + 1j * rng.standard_normal((B, 1, cfg.n_symbols, 12))) / np.sqrt(2)
+    rx = tx[:, None] * np.exp(1j * 0.5) + sigma * noise.astype(np.complex64)
+    got, _ = pucch0_rx(cfg, jnp.asarray(rx))
+    np.testing.assert_array_equal(np.asarray(got), uci)
+
+
+@pytest.mark.parametrize("n_bits", [4, 11])
+def test_pucch2_small_block_roundtrip(n_bits):
+    cfg = Pucch2Config(n_bits=n_bits, n_prb=4)
+    rng = np.random.default_rng(n_bits)
+    B = 8
+    uci = rng.integers(0, 2, (B, n_bits)).astype(np.int8)
+    tx = pucch2_tx(cfg, jnp.asarray(uci))
+    sigma = 10 ** (-0.0 / 20)
+    noise = (rng.standard_normal((B, 1) + tx.shape[1:])
+             + 1j * rng.standard_normal((B, 1) + tx.shape[1:])) / np.sqrt(2)
+    rx = tx[:, None] + sigma * noise.astype(np.complex64)
+    got, ok = pucch2_rx(cfg, jnp.asarray(rx))
+    np.testing.assert_array_equal(np.asarray(got), uci)
+
+
+def test_pucch2_polar_roundtrip():
+    cfg = Pucch2Config(n_bits=16, n_prb=9)
+    rng = np.random.default_rng(9)
+    B = 4
+    uci = rng.integers(0, 2, (B, 16)).astype(np.int8)
+    tx = pucch2_tx(cfg, jnp.asarray(uci))
+    sigma = 10 ** (-3.0 / 20)
+    noise = (rng.standard_normal((B, 2) + tx.shape[1:])
+             + 1j * rng.standard_normal((B, 2) + tx.shape[1:])) / np.sqrt(2)
+    rx = tx[:, None] + sigma * noise.astype(np.complex64)
+    got, ok = pucch2_rx(cfg, jnp.asarray(rx))
+    assert bool(ok.all())
+    np.testing.assert_array_equal(np.asarray(got), uci)

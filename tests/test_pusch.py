@@ -58,3 +58,11 @@ def test_pusch_fails_at_low_snr():
     cfg = PuschConfig(mu=1, n_prb=24, mcs=20, n_layers=1, n_rx=1)
     _, out = run_chain(cfg, snr_db=-10.0)
     assert not bool(out["tb_ok"].any())
+
+
+def test_pusch_transform_precoding():
+    cfg = PuschConfig(mu=1, n_prb=24, mcs=9, n_layers=1, n_rx=1,
+                      transform_precoding=True)
+    tb, out = run_chain(cfg, snr_db=10.0)
+    assert bool(out["tb_ok"].all())
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)

@@ -68,13 +68,30 @@ def parse_polar() -> np.ndarray:
     return q1024.astype(np.int16)
 
 
+def parse_phi() -> dict:
+    """TS 38.211 Tables 5.2.2.2-1..4: low-PAPR base sequence phases phi(n)
+    for M_ZC in {6,12,18,24}, 30 groups each."""
+    path = f"{REF}/openair1/PHY/NR_REFSIG/ul_ref_seq_nr.h"
+    txt = open(path).read()
+    txt = re.sub(r"/\*.*?\*/", "", txt, flags=re.S)
+    txt = re.sub(r"//[^\n]*", "", txt)
+    out = {}
+    for M in (6, 12, 18, 24):
+        m = re.search(rf"phi_M_ZC_{M}\[[^\]]*\]\s*=\s*\{{(.*?)\}};", txt, re.S)
+        vals = np.array([int(t) for t in re.findall(r"-?\d+", m.group(1))], dtype=np.int8)
+        assert len(vals) == M * 30
+        out[f"phi{M}"] = vals.reshape(30, M)
+    return out
+
+
 def main():
     bg1 = parse_bg(1)
     bg2 = parse_bg(2)
     polar = parse_polar()
+    phi = parse_phi()
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    np.savez_compressed(OUT, bg1=bg1, bg2=bg2, polar_q1024=polar)
-    print(f"wrote {OUT}: bg1{bg1.shape} bg2{bg2.shape} polar{polar.shape}")
+    np.savez_compressed(OUT, bg1=bg1, bg2=bg2, polar_q1024=polar, **phi)
+    print(f"wrote {OUT}: bg1{bg1.shape} bg2{bg2.shape} polar{polar.shape} + phi tables")
 
 
 if __name__ == "__main__":
