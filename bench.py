@@ -28,20 +28,24 @@ def main():
 
     from openairinterface5g_tpu.models.pusch import PuschConfig, pusch_rx, pusch_tx
 
-    cfg = PuschConfig(mu=1, n_prb=273, mcs=16, n_layers=2, n_rx=2)
+    cfg = PuschConfig(mu=1, n_prb=273, mcs=16, n_layers=2, n_rx=2,
+                      decoder_backend="pallas")
     B = 4  # slots per dispatch
 
     rng = np.random.default_rng(0)
-    tb = rng.integers(0, 2, size=(B, cfg.tbs)).astype(np.int8)
-    tx_fn = jax.jit(lambda t: pusch_tx(cfg, t)[0])
-    tx = jax.block_until_ready(tx_fn(jnp.asarray(tb)))
-    tx = np.asarray(tx)
-    # modest noise so the decoder does realistic work (converges in a few iters)
-    noise = 0.05 * (rng.standard_normal((B, cfg.n_rx, tx.shape[-1]))
-                    + 1j * rng.standard_normal((B, cfg.n_rx, tx.shape[-1])))
-    # 2x2 identity channel + cross-talk
-    rx = tx + 0.1 * tx[:, ::-1, :] + noise.astype(np.complex64)
-    rx = jnp.asarray(rx)
+    tb = jnp.asarray(rng.integers(0, 2, size=(B, cfg.tbs)).astype(np.int8))
+
+    # complex IQ never crosses the host boundary (axon backend limitation):
+    # the TX waveform + channel + noise are built inside one jitted fn and
+    # the device-resident rx array feeds the separately-timed RX step.
+    @jax.jit
+    def make_rx(t, key):
+        tx, _ = pusch_tx(cfg, t)
+        noise = 0.05 * (jax.random.normal(key, tx.shape)
+                        + 1j * jax.random.normal(jax.random.fold_in(key, 1), tx.shape))
+        return tx + 0.1 * tx[:, ::-1, :] + noise.astype(jnp.complex64)
+
+    rx = jax.block_until_ready(make_rx(tb, jax.random.PRNGKey(0)))
 
     step = jax.jit(lambda r: pusch_rx(cfg, r, n_iters=8)["tb_ok"])
     ok = jax.block_until_ready(step(rx))  # compile

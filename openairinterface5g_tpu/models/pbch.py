@@ -151,16 +151,22 @@ def ssb_receive(cfg: PbchConfig, rx_tile: jnp.ndarray, list_size: int = 8):
     dmrs = pbch_dmrs(cfg)
     yp = rx_tile[:, :, jnp.asarray(mpos[:, 0]), jnp.asarray(mpos[:, 1])]
     hp = ls_estimate(yp, dmrs)                       # (B, R, 144)
-    # smooth LS estimates within each contiguous pilot run (sym1: 60,
-    # sym2: 12+12, sym3: 60) — the filt16a_32.h filtering analog
+    # block-fading assumption over the 4-symbol SSB: average the LS
+    # estimates over the symbols sharing each comb-4 SC position (syms
+    # 1/3 carry all 60, sym 2 the outer 24), then smooth in frequency —
+    # the combined time+filt16a averaging of nr_dl_channel_estimation.c
     from ..phy.channel_estimation import freq_average
-    segs = [(0, 60), (60, 72), (72, 84), (84, 144)]
-    hp = jnp.concatenate(
-        [freq_average(hp[..., a:b], window=min(8, b - a)) for a, b in segs], axis=-1)
-    # per-symbol comb-4 estimates -> hold across the 4 neighbouring SCs
-    # DMRS sc positions are v+4k; estimate for data sc = nearest pilot
-    h_map = _nearest_pilot_map(cfg)                  # (432,) into 144
-    h_data = hp[..., jnp.asarray(h_map)]             # (B, R, 432)
+    pos_of = {}
+    for i, (s, k) in enumerate(np.asarray(mpos)):
+        pos_of.setdefault(int(k), []).append(i)
+    scs = sorted(pos_of)
+    sums = jnp.stack(
+        [jnp.mean(hp[..., jnp.asarray(pos_of[k])], axis=-1) for k in scs], axis=-1)
+    h_sc = freq_average(sums, window=16)             # (B, R, 60)
+    # map each data RE to its nearest comb-4 SC estimate
+    sc_arr = np.array(scs)
+    h_map = np.abs(dpos[:, 1][None, :] - sc_arr[:, None]).argmin(axis=0)
+    h_data = h_sc[..., jnp.asarray(h_map)]           # (B, R, 432)
     yd = rx_tile[:, :, jnp.asarray(dpos[:, 0]), jnp.asarray(dpos[:, 1])]
     x = jnp.sum(jnp.conj(h_data) * yd, axis=1)       # MRC over rx ants
     mag = jnp.sum(jnp.abs(h_data) ** 2, axis=1)

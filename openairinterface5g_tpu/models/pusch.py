@@ -51,6 +51,7 @@ class PuschConfig:
     transform_precoding: bool = False
     prb_start: int = 0               # allocation offset within the BWP
     n_bwp_prb: int | None = None     # carrier/BWP width (defaults to n_prb)
+    decoder_backend: str = "xla"     # 'xla' | 'pallas' (coding/backend.py)
 
     @property
     def bwp_prbs(self) -> int:
@@ -219,9 +220,15 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
             ls = ls * jnp.conj(w)
             pair = ls.reshape(*ls.shape[:-1], -1, 2).mean(axis=-1)
             hp = jnp.repeat(pair, 2, axis=-1)
+            # noise estimate must use the CDM-separated values (raw
+            # adjacent-pilot differences would measure the other port):
+            # each pair value averages 2 pilots -> var sigma^2/2, so
+            # E|pair_k - pair_{k+1}|^2 = sigma^2
+            d = pair[..., 1:] - pair[..., :-1]
+            nvars.append(jnp.mean(jnp.abs(d) ** 2, axis=-1))
         else:
             hp = ls
-        nvars.append(ce.noise_variance(yp, ls, pil))
+            nvars.append(ce.noise_variance(yp, ls, pil))
         h = ce.comb2_interpolate(hp, m_per_sym, delta)
         h_layers.append(h)
     h_est = jnp.stack(h_layers, axis=2)  # (B, R, L, m_per_sym)
@@ -270,7 +277,8 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
         full_llrs.append(rate_matching.rate_match_rx(g, e, rv, p.F, harq_buffer=buf))
     new_harq = full_llrs
     stacked = jnp.stack(full_llrs, axis=1)              # (B, C, N)
-    bits_all, ok_all, _ = ldpc.decode(
+    from ..coding.backend import decoder as ldpc_decoder
+    bits_all, ok_all = ldpc_decoder(cfg.decoder_backend)(
         g, stacked.reshape(B * p.C, -1), n_iters=n_iters)
     cbs = bits_all.reshape(B, p.C, -1)                  # (B, C, K)
     cb_ok = ok_all.reshape(B, p.C)

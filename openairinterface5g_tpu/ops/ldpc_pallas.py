@@ -45,7 +45,8 @@ def _edges(graph: LDPCGraph):
 
 
 @functools.lru_cache(maxsize=32)
-def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float):
+def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
+                   schedule: str = "layered", sb: int = 8):
     graph = build_graph(bg, Z)
     rows_edges = _edges(graph)
     C = graph.cols
@@ -53,37 +54,42 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float):
     # flat edge index per (row-local order)
     edge_base = np.cumsum([0] + [len(es) for _, es in rows_edges])
 
+    def _cn_minsum(rot):
+        """min1/min2/sign across a row's rotated v2c messages."""
+        m1 = jnp.full_like(rot[0], _BIG)
+        m2 = jnp.full_like(rot[0], _BIG)
+        sgn = jnp.zeros_like(rot[0], dtype=jnp.int32)
+        mags = []
+        for v in rot:
+            a = jnp.abs(v)
+            mags.append(a)
+            new_m1 = jnp.minimum(m1, a)
+            m2 = jnp.minimum(m2, jnp.maximum(m1, a))
+            m1 = new_m1
+            sgn = sgn ^ (v < 0).astype(jnp.int32)
+        return m1, m2, sgn, mags
+
     def kernel(llr_ref, bits_ref, c2v, totals):
-        # llr_ref, bits_ref: (C, 8, Z); c2v: (E, 8, Z); totals: (C, 8, Z)
-        c2v[...] = jnp.zeros((E, 8, Z), jnp.float32)
+        # llr_ref, bits_ref: (C, sb, Z); c2v: (E, sb, Z); totals: (C, sb, Z)
+        c2v[...] = jnp.zeros((E, sb, Z), jnp.float32)
         totals[...] = llr_ref[...]
 
-        def one_iter(_, carry):
-            # --- check-node pass (totals fixed, c2v per-edge update) ---
+        def flooding_iter(_, carry):
+            # check-node pass with totals fixed (each edge belongs to one
+            # row, so in-loop c2v updates don't leak between rows)
             for ri, (r, es) in enumerate(rows_edges):
                 base = int(edge_base[ri])
                 rot = []
                 for d, (c, s) in enumerate(es):
                     v2c = totals[c] - c2v[base + d]
                     rot.append(jnp.roll(v2c, -s, axis=-1) if s % Z else v2c)
-                # min1/min2/sign across the row
-                m1 = jnp.full_like(rot[0], _BIG)
-                m2 = jnp.full_like(rot[0], _BIG)
-                sgn = jnp.zeros_like(rot[0], dtype=jnp.int32)
-                mags = []
-                for v in rot:
-                    a = jnp.abs(v)
-                    mags.append(a)
-                    new_m1 = jnp.minimum(m1, a)
-                    m2 = jnp.minimum(m2, jnp.maximum(m1, a))
-                    m1 = new_m1
-                    sgn = sgn ^ (v < 0).astype(jnp.int32)
+                m1, m2, sgn, mags = _cn_minsum(rot)
                 for d, (c, s) in enumerate(es):
                     mag = jnp.where(mags[d] == m1, m2, m1) * np.float32(alpha)
                     neg = sgn ^ (rot[d] < 0).astype(jnp.int32)
                     val = jnp.where(neg == 1, -mag, mag)
                     c2v[base + d] = jnp.roll(val, s, axis=-1) if s % Z else val
-            # --- variable-node pass ---
+            # variable-node pass
             totals[...] = llr_ref[...]
             for ri, (r, es) in enumerate(rows_edges):
                 base = int(edge_base[ri])
@@ -91,21 +97,42 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float):
                     totals[c] = totals[c] + c2v[base + d]
             return carry
 
-        jax.lax.fori_loop(0, n_iters, one_iter, 0)
+        def layered_iter(_, carry):
+            # row-layered schedule: totals updated in place per row —
+            # no separate VN pass, ~2x faster convergence than flooding
+            for ri, (r, es) in enumerate(rows_edges):
+                base = int(edge_base[ri])
+                rot = []
+                for d, (c, s) in enumerate(es):
+                    v2c = totals[c] - c2v[base + d]
+                    rot.append(jnp.roll(v2c, -s, axis=-1) if s % Z else v2c)
+                m1, m2, sgn, mags = _cn_minsum(rot)
+                for d, (c, s) in enumerate(es):
+                    mag = jnp.where(mags[d] == m1, m2, m1) * np.float32(alpha)
+                    neg = sgn ^ (rot[d] < 0).astype(jnp.int32)
+                    val = jnp.where(neg == 1, -mag, mag)
+                    new_c2v = jnp.roll(val, s, axis=-1) if s % Z else val
+                    # totals[c] = llr-part + sum c2v: replace old with new
+                    totals[c] = totals[c] + (new_c2v - c2v[base + d])
+                    c2v[base + d] = new_c2v
+            return carry
+
+        body = layered_iter if schedule == "layered" else flooding_iter
+        jax.lax.fori_loop(0, n_iters, body, 0)
         bits_ref[...] = (totals[...] < 0).astype(jnp.int8)
 
     def run(llr8):
-        """llr8: (C, n_groups*8, Z) f32 -> bits (C, n_groups*8, Z) int8."""
-        n_groups = llr8.shape[1] // 8
+        """llr8: (C, n_groups*sb, Z) f32 -> bits (C, n_groups*sb, Z) int8."""
+        n_groups = llr8.shape[1] // sb
         return pl.pallas_call(
             kernel,
             grid=(n_groups,),
-            in_specs=[pl.BlockSpec((C, 8, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((C, 8, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            in_specs=[pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(llr8.shape, jnp.int8),
             scratch_shapes=[
-                pltpu.VMEM((E, 8, Z), jnp.float32),
-                pltpu.VMEM((C, 8, Z), jnp.float32),
+                pltpu.VMEM((E, sb, Z), jnp.float32),
+                pltpu.VMEM((C, sb, Z), jnp.float32),
             ],
         )(llr8)
 
@@ -115,18 +142,21 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float):
 def decode_pallas(
     graph: LDPCGraph,
     llr: jnp.ndarray,
-    n_iters: int = 12,
+    n_iters: int = 8,
     alpha: float = 0.8125,
+    schedule: str = "layered",
+    sb: int = 8,
 ):
     """Pallas-kernel decode: (B, cols*Z) LLRs -> (bits (B, K) int8, ok (B,)).
 
     B is padded up to a multiple of 8 internally.  Parity check runs as a
-    cheap XLA epilogue on the hard bits.
+    cheap XLA epilogue on the hard bits.  schedule: 'layered' (default,
+    ~2x faster convergence) or 'flooding' (reference-exact schedule).
     """
     B = llr.shape[0]
     Z, C = graph.Z, graph.cols
-    run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha)
-    Bp = -(-B // 8) * 8
+    run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha, schedule, sb)
+    Bp = -(-B // sb) * sb
     x = llr.astype(jnp.float32).reshape(B, C, Z)
     if Bp != B:
         x = jnp.concatenate([x, jnp.zeros((Bp - B, C, Z), jnp.float32)], axis=0)

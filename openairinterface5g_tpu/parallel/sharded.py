@@ -14,7 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..coding import ldpc
 
@@ -32,7 +32,7 @@ def sharded_ldpc_decode(mesh: Mesh, graph: ldpc.LDPCGraph, llrs: jnp.ndarray,
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(spec,), out_specs=(spec, P(axis)),
-        check_rep=False)
+        check_vma=False)
     def _decode(llr_block):
         bits, ok, _ = ldpc.decode(graph, llr_block, n_iters=n_iters,
                                   early_stop=False)
@@ -58,7 +58,7 @@ def sharded_slot_sweep(mesh: Mesh, cfg, snr_db: float, tb_bits, key,
         shard_map, mesh=mesh,
         in_specs=(spec_tb, spec_key),
         out_specs=(P(axis), P()),
-        check_rep=False)
+        check_vma=False)
     def _run(tb, keys):
         tx, _ = pusch_tx(cfg, tb)
         sig = jnp.mean(jnp.sum(jnp.abs(tx) ** 2, axis=-2))

@@ -48,13 +48,14 @@ def mmse_equalize_2layer(h: jnp.ndarray, y: jnp.ndarray, nvar):
     inv_det = 1.0 / det
     e0 = (a11 * x0 - g01 * x1) * inv_det
     e1 = (a00 * x1 - jnp.conj(g01) * x0) * inv_det
-    # effective gain of layer i after MMSE (real): diag((G+nI)^-1 G)
+    # effective gain of layer i after MMSE (real): diag((G+nI)^-1 G).
+    # e_i is already the biased MMSE estimate ~ m_i * s_i, so (e, m) IS the
+    # compensated (x, mag) pair the LLR stage expects — no extra scaling.
     m0 = ((a11 * g00 - jnp.abs(g01) ** 2) * inv_det).real
     m1 = ((a00 * g11 - jnp.abs(g01) ** 2) * inv_det).real
     x_hat = jnp.stack([e0, e1], axis=-2)
     eff = jnp.stack([m0, m1], axis=-2).astype(jnp.float32)
-    # return in "compensated" convention: x scaled by eff gain
-    return x_hat * eff[..., :, :], eff
+    return x_hat, eff
 
 
 def zf_equalize(h: jnp.ndarray, y: jnp.ndarray, nvar=0.0):
@@ -69,8 +70,8 @@ def zf_equalize(h: jnp.ndarray, y: jnp.ndarray, nvar=0.0):
     L = g.shape[-1]
     a = g + nvar * jnp.eye(L, dtype=g.dtype)
     xmf = jnp.einsum("...al,...ao->...lo", jnp.conj(hm), ym)
-    sol = jnp.linalg.solve(a, xmf)[..., 0]   # (..., n_re, L)
-    # effective per-layer gain: diag(A^-1 G)
+    sol = jnp.linalg.solve(a, xmf)[..., 0]   # (..., n_re, L) ~ diag(m) s
+    # effective per-layer gain: diag(A^-1 G); (sol, m) is the compensated pair
     effm = jnp.real(jnp.diagonal(jnp.linalg.solve(a, g), axis1=-2, axis2=-1))
-    x = jnp.moveaxis(sol * effm, -1, -2)     # compensated convention
+    x = jnp.moveaxis(sol, -1, -2)
     return x, jnp.moveaxis(effm.astype(jnp.float32), -1, -2)

@@ -65,3 +65,33 @@ def ofdm_demodulate(fp: FrameParams, samples: jnp.ndarray, slot: int) -> jnp.nda
         syms.append(samples[..., start: start + fp.fft_size])
     x = jnp.stack(syms, axis=-2)
     return jnp.fft.fft(x, axis=-1).astype(jnp.complex64) / jnp.sqrt(jnp.float32(fp.fft_size))
+
+
+def symbol_rotation(fp: FrameParams, slot: int, f0: float) -> np.ndarray:
+    """Per-symbol phase compensation e^{-j 2 pi f0 t_l} (P4 analog).
+
+    TS 38.211 §5.4 upconversion phase: each OFDM symbol l starting at
+    sample offset t_l (incl. CP) accrues phase 2*pi*f0*t_l at carrier
+    offset f0; the reference precomputes these rotations in
+    init_symbol_rotation (nr_modulation.c:587) and applies them TX/RX
+    (phy_procedures_nr_gNB.c:254).  Returns (symbols_per_slot,) complex64.
+    """
+    offs = fp.symbol_offsets(slot) + fp.cp_lengths(slot)
+    t = offs / fp.sample_rate
+    return np.exp(-2j * np.pi * f0 * t).astype(np.complex64)
+
+
+def apply_rotation_tx(fp: FrameParams, grid: "jnp.ndarray", slot: int, f0: float):
+    """Apply TX symbol rotation to a (..., symbols, fft) freq grid."""
+    if f0 == 0.0:
+        return grid
+    rot = jnp.asarray(symbol_rotation(fp, slot, f0))
+    return grid * rot[:, None]
+
+
+def apply_rotation_rx(fp: FrameParams, grid: "jnp.ndarray", slot: int, f0: float):
+    """Undo the TX rotation at RX (conjugate)."""
+    if f0 == 0.0:
+        return grid
+    rot = jnp.asarray(np.conj(symbol_rotation(fp, slot, f0)))
+    return grid * rot[:, None]

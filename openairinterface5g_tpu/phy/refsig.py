@@ -75,3 +75,87 @@ def sss_sequence(n_id1: int, n_id2: int) -> np.ndarray:
     m1 = n_id1 % 112
     n = np.arange(127)
     return ((1 - 2 * x0[(n + m0) % 127]) * (1 - 2 * x1[(n + m1) % 127])).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Low-PAPR sequences of arbitrary length (TS 38.211 §5.2.2) — SRS / PUCCH
+# --------------------------------------------------------------------------
+
+def _largest_prime_below(n: int) -> int:
+    for c in range(n - 1, 1, -1):
+        if all(c % k for k in range(2, int(c ** 0.5) + 1)):
+            return c
+    raise ValueError(n)
+
+
+def low_papr_sequence(u: int, v: int, length: int) -> np.ndarray:
+    """Base sequence r_{u,v}(n) for M >= 36 (ZC with cyclic extension).
+
+    TS 38.211 §5.2.2.1: N_ZC = largest prime < M; q from u, v;
+    x_q(m) = exp(-j pi q m (m+1) / N_ZC); r(n) = x_q(n mod N_ZC).
+    (Short lengths 6..24 use the phi tables in models/pucch.py.)
+    """
+    n_zc = _largest_prime_below(length)
+    qbar = n_zc * (u + 1) / 31.0
+    q = int(np.floor(qbar + 0.5)) + v * (-1) ** int(np.floor(2 * qbar))
+    m = np.arange(n_zc, dtype=np.float64)
+    x = np.exp(-1j * np.pi * q * m * (m + 1) / n_zc)
+    return x[np.arange(length) % n_zc].astype(np.complex64)
+
+
+# --------------------------------------------------------------------------
+# SRS generation (TS 38.211 §6.4.1.4) — P28 analog (srs_rx.c / ul_ref_seq)
+# --------------------------------------------------------------------------
+
+def srs_sequence(n_prb: int, comb: int = 2, u: int = 0, v: int = 0,
+                 cyclic_shift: int = 0, n_cs_max: int = 8) -> np.ndarray:
+    """(m_sc,) SRS sequence: low-PAPR base with cyclic shift alpha.
+
+    m_sc = n_prb * 12 / comb subcarriers (comb-KTC mapping).
+    """
+    m_sc = n_prb * 12 // comb
+    base = low_papr_sequence(u, v, m_sc)
+    alpha = 2 * np.pi * cyclic_shift / n_cs_max
+    n = np.arange(m_sc)
+    return (np.exp(1j * alpha * n) * base).astype(np.complex64)
+
+
+def srs_sc_indices(n_prb: int, comb: int = 2, comb_offset: int = 0) -> np.ndarray:
+    """Subcarrier indices of the SRS comb within the sounded PRBs."""
+    return (np.arange(n_prb * 12 // comb) * comb + comb_offset).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# CSI-RS (TS 38.211 §7.4.1.5) — single-port row-1-style generation
+# --------------------------------------------------------------------------
+
+def csirs_cinit(slot: int, symbol: int, n_id: int, symbols_per_slot: int = 14) -> int:
+    return ((1 << 10) * (symbols_per_slot * slot + symbol + 1) * (2 * n_id + 1)
+            + n_id) % (1 << 31)
+
+
+def csirs_sequence(cinit, n_re: int) -> jnp.ndarray:
+    """Gold-seeded QPSK CSI-RS values (same mapping as DMRS sequences)."""
+    return dmrs_sequence(cinit, n_re)
+
+
+# --------------------------------------------------------------------------
+# PTRS (TS 38.211 §6.4.1.2) — phase-tracking RS for PUSCH
+# --------------------------------------------------------------------------
+
+def ptrs_sc_indices(n_prb: int, k_ptrs: int = 2, re_offset: int = 0) -> np.ndarray:
+    """One PTRS subcarrier every K_PTRS PRBs (density-1 frequency pattern)."""
+    prbs = np.arange(0, n_prb, k_ptrs)
+    return (prbs * 12 + re_offset).astype(np.int32)
+
+
+def estimate_common_phase(y: jnp.ndarray, h: jnp.ndarray, pilots: jnp.ndarray) -> jnp.ndarray:
+    """Per-symbol common phase error from PTRS REs.
+
+    y: (..., n_sym, n_ptrs) received PTRS REs; h: channel at those REs
+    (same shape or broadcastable); pilots: (n_ptrs,) reference values.
+    Returns (..., n_sym) unit-magnitude phasors exp(-j phi_hat) to apply
+    to the data REs (nr_pusch_ptrs_processing:498 analog).
+    """
+    z = jnp.sum(y * jnp.conj(h * pilots), axis=-1)
+    return jnp.conj(z / jnp.maximum(jnp.abs(z), 1e-12))

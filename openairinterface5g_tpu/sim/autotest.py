@@ -1,0 +1,84 @@
+"""Autotest runner: the reference CI operating points as one command.
+
+Mirrors cmake_targets/autotests/run_exec_autotests.bash +
+test_case_list.xml: each case runs a simulator CLI in-process and greps
+its stdout for the pass string.  Case list follows BASELINE.md.
+
+Usage:
+  python -m openairinterface5g_tpu.sim.autotest            # quick set
+  python -m openairinterface5g_tpu.sim.autotest --full     # all points
+"""
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import sys
+import time
+
+
+CASES = [
+    # (id, module, argv, pass_string, quick)
+    ("ldpctest-BG1-8448", "ldpctest", ["-l", "8448", "-s", "10", "-n", "64"], "BLER 0.000000", True),
+    ("ldpctest-BG1-3872", "ldpctest", ["-l", "3872", "-s", "10", "-n", "64"], "BLER 0.000000", False),
+    ("ldpctest-BG2-1024", "ldpctest", ["-l", "1024", "-s", "10", "-n", "64"], "BLER 0.000000", False),
+    ("polartest-PBCH", "polartest", ["-q", "-s", "-6", "-n", "64"], "BLER 0.000000", True),
+    ("polartest-DCI", "polartest", ["-c", "-k", "40", "-E", "216", "-s", "-2", "-n", "64"], "BLER 0.000000", False),
+    ("polartest-UCI", "polartest", ["-u", "-k", "16", "-E", "240", "-s", "0", "-n", "64"], "BLER 0.000000", False),
+    # NOTE: our SNR is per occupied SSB RE; the reference pbchsim SNR is
+    # diluted over the whole carrier (240/1272 SCs at 106 PRB ~ +7 dB),
+    # so -7 dB here corresponds to about -14 dB in the reference's units.
+    ("pbchsim-m7dB", "pbchsim", ["-s", "-7", "-n", "64"], "PBCH test OK", True),
+    ("ulsim-mcs9-106", "ulsim", ["-m", "9", "-R", "106", "-s", "6", "-n", "64", "-t", "99"], "PUSCH test OK", True),
+    ("ulsim-mcs9-sc-fdma", "ulsim", ["-m", "9", "-R", "75", "-s", "7", "-n", "64", "-t", "99"], "PUSCH test OK", False),
+    ("ulsim-mimo2x2", "ulsim", ["-m", "9", "-R", "106", "-W", "2", "-y", "2", "-s", "11", "-n", "64", "-t", "99"], "PUSCH test OK", False),
+    ("dlsim-mcs9-106", "dlsim", ["-m", "9", "-R", "106", "-s", "6", "-n", "64", "-t", "99"], "PDSCH test OK", True),
+    ("dlsim-mcs27-256qam", "dlsim", ["-m", "26", "-q", "2", "-R", "106", "-s", "27", "-n", "32", "-t", "99"], "PDSCH test OK", False),
+    ("pucchsim-f0-1bit", "pucchsim", ["-f", "0", "-b", "1", "-s", "-2", "-n", "256"], "PUCCH test OK", True),
+    ("pucchsim-f2-6bit", "pucchsim", ["-f", "2", "-b", "6", "-s", "0", "-n", "256"], "PUCCH test OK", False),
+    ("prachsim-m28dB", "prachsim", ["-s", "-28", "-n", "256"], "PRACH test OK", True),
+    ("ulschsim-mcs9", "ulschsim", ["-m", "9", "-R", "106", "-s", "6", "-n", "32"], "ULSCH test OK", False),
+    ("dlschsim-mcs15", "dlschsim", ["-m", "15", "-R", "106", "-s", "10", "-n", "32"], "DLSCH test OK", False),
+]
+
+
+def run_case(module: str, argv: list[str]) -> str:
+    import importlib
+
+    mod = importlib.import_module(f"openairinterface5g_tpu.sim.{module}")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        try:
+            mod.main(argv)
+        except SystemExit:
+            pass
+    return buf.getvalue()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--filter", type=str, default="")
+    args = ap.parse_args(argv)
+
+    results = []
+    for cid, module, case_argv, pass_str, quick in CASES:
+        if not args.full and not quick:
+            continue
+        if args.filter and args.filter not in cid:
+            continue
+        t0 = time.time()
+        out = run_case(module, case_argv)
+        ok = pass_str in out
+        results.append((cid, ok, time.time() - t0))
+        print(f"[{'PASS' if ok else 'FAIL'}] {cid} ({time.time()-t0:.1f}s)")
+        if not ok:
+            print("  --- output tail ---")
+            print("  " + "\n  ".join(out.strip().splitlines()[-5:]))
+    n_ok = sum(1 for _, ok, _ in results if ok)
+    print(f"\n{n_ok}/{len(results)} autotests passed")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -118,3 +118,19 @@ def add_noise(key: jax.Array, rx: jnp.ndarray, sigma2: float) -> jnp.ndarray:
     kr, ki = jax.random.split(key)
     n = (jax.random.normal(kr, rx.shape) + 1j * jax.random.normal(ki, rx.shape))
     return rx + jnp.sqrt(jnp.float32(sigma2 / 2)) * n.astype(jnp.complex64)
+
+
+# 3GPP TR 36.873 / 36.101 legacy profiles (random_channel.c EPA/EVA/ETU)
+LEGACY_PROFILES = {
+    # delays in ns (absolute), powers in dB
+    "EPA": (np.array([0, 30, 70, 90, 110, 190, 410], dtype=np.float64),
+            np.array([0.0, -1.0, -2.0, -3.0, -8.0, -17.2, -20.8])),
+    "EVA": (np.array([0, 30, 150, 310, 370, 710, 1090, 1730, 2510], dtype=np.float64),
+            np.array([0.0, -1.5, -1.4, -3.6, -0.6, -9.1, -7.0, -12.0, -16.9])),
+    "ETU": (np.array([0, 50, 120, 200, 230, 500, 1600, 2300, 5000], dtype=np.float64),
+            np.array([-1.0, -1.0, -1.0, 0.0, 0.0, 0.0, -3.0, -5.0, -7.0])),
+}
+
+# absolute-delay profiles register alongside the normalized TDL ones
+for _name, (_d, _p) in LEGACY_PROFILES.items():
+    TDL_PROFILES[_name] = (_d / 1000.0, _p)  # store as us-scaled like TDL @1000ns DS

@@ -25,6 +25,8 @@ def main(argv=None):
     ap.add_argument("-L", "--list-size", type=int, default=8)
     ap.add_argument("-t", "--target-bler", type=float, default=0.1,
                     help="pass criterion: BLER below this at every SNR")
+    ap.add_argument("--fading", action="store_true",
+                    help="per-trial flat Rayleigh fading (default: AWGN+phase)")
     args = ap.parse_args(argv)
 
     import jax
@@ -41,9 +43,15 @@ def main(argv=None):
         kb, kh1, kh2, kn1, kn2 = jax.random.split(key, 5)
         payload = jax.random.bernoulli(kb, 0.5, (batch, 32)).astype(jnp.int8)
         tile = ssb_generate(cfg, payload)
-        # random per-trial flat phase/amp (Rayleigh) per rx antenna
-        h = (jax.random.normal(kh1, (batch, args.n_rx, 1, 1))
-             + 1j * jax.random.normal(kh2, (batch, args.n_rx, 1, 1))) / np.sqrt(2)
+        if args.fading:
+            # per-trial flat Rayleigh per rx antenna
+            h = (jax.random.normal(kh1, (batch, args.n_rx, 1, 1))
+                 + 1j * jax.random.normal(kh2, (batch, args.n_rx, 1, 1))) / np.sqrt(2)
+        else:
+            # AWGN with random phase (the reference pbchsim default channel)
+            phi = jax.random.uniform(kh1, (batch, args.n_rx, 1, 1), minval=0.0,
+                                     maxval=2 * np.pi)
+            h = jnp.exp(1j * phi)
         sigma = 10 ** (-snr_db / 20)
         noise = (jax.random.normal(kn1, (batch, args.n_rx, 4, 240))
                  + 1j * jax.random.normal(kn2, (batch, args.n_rx, 4, 240))) / np.sqrt(2)

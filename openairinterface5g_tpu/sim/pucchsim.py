@@ -1,0 +1,105 @@
+"""nr_pucchsim equivalent: PUCCH format 0/2 ACK-miss / BLER simulator.
+
+CI points (test_case_list.xml:279-323): F0 1-2 bit @ -2 dB;
+F2 3-11 bit @ 0-6 dB; F2 12-64 bit @ -3 dB.
+
+Usage: python -m openairinterface5g_tpu.sim.pucchsim -f 0 -b 1 -s -2 -n 1000
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="PUCCH simulator (nr_pucchsim analog)")
+    ap.add_argument("-f", "--format", type=int, default=0, choices=[0, 2])
+    ap.add_argument("-b", "--n-bits", type=int, default=1)
+    ap.add_argument("-P", "--n-prb", type=int, default=4)
+    ap.add_argument("-s", "--snr0", type=float, default=-2.0)
+    ap.add_argument("-S", "--snr1", type=float, default=None)
+    ap.add_argument("--snr-step", type=float, default=1.0)
+    ap.add_argument("-n", "--n-trials", type=int, default=256)
+    ap.add_argument("-y", "--n-rx", type=int, default=1)
+    ap.add_argument("--fading", action="store_true", help="flat Rayleigh per trial (default: AWGN+phase)")
+    ap.add_argument("-t", "--target", type=float, default=0.01,
+                    help="pass criterion: error rate below this")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.pucch import (
+        Pucch0Config, Pucch2Config, pucch0_rx, pucch0_tx, pucch2_rx, pucch2_tx,
+    )
+
+    batch = min(args.n_trials, 64)
+    if args.format == 0:
+        cfg = Pucch0Config(n_bits=args.n_bits, n_symbols=1)
+        print(f"PUCCH F0 sim: {args.n_bits} bits, n_rx={args.n_rx}")
+
+        @jax.jit
+        def step(key, snr_db):
+            ku, kh1, kh2, kn1, kn2 = jax.random.split(key, 5)
+            uci = jax.random.randint(ku, (batch,), 0, 1 << args.n_bits)
+            tx = pucch0_tx(cfg, uci)
+            if args.fading:
+                h = (jax.random.normal(kh1, (batch, args.n_rx, 1, 1))
+                     + 1j * jax.random.normal(kh2, (batch, args.n_rx, 1, 1))) / np.sqrt(2)
+            else:
+                phi = jax.random.uniform(kh1, (batch, args.n_rx, 1, 1), maxval=2 * np.pi)
+                h = jnp.exp(1j * phi)
+            sigma = 10 ** (-snr_db / 20)
+            sh = (batch, args.n_rx, cfg.n_symbols, 12)
+            noise = (jax.random.normal(kn1, sh) + 1j * jax.random.normal(kn2, sh)) / np.sqrt(2)
+            rx = (h * tx[:, None] + sigma * noise).astype(jnp.complex64)
+            got, _ = pucch0_rx(cfg, rx)
+            return got != uci
+    else:
+        cfg = Pucch2Config(n_bits=args.n_bits, n_prb=args.n_prb)
+        print(f"PUCCH F2 sim: {args.n_bits} bits {args.n_prb} PRB, n_rx={args.n_rx}")
+
+        @jax.jit
+        def step(key, snr_db):
+            ku, kh1, kh2, kn1, kn2 = jax.random.split(key, 5)
+            uci = jax.random.bernoulli(ku, 0.5, (batch, args.n_bits)).astype(jnp.int8)
+            tx = pucch2_tx(cfg, uci)
+            if args.fading:
+                h = (jax.random.normal(kh1, (batch, args.n_rx, 1, 1))
+                     + 1j * jax.random.normal(kh2, (batch, args.n_rx, 1, 1))) / np.sqrt(2)
+            else:
+                phi = jax.random.uniform(kh1, (batch, args.n_rx, 1, 1), maxval=2 * np.pi)
+                h = jnp.exp(1j * phi)
+            sigma = 10 ** (-snr_db / 20)
+            sh = (batch, args.n_rx) + tx.shape[1:]
+            noise = (jax.random.normal(kn1, sh) + 1j * jax.random.normal(kn2, sh)) / np.sqrt(2)
+            rx = (h * tx[:, None] + sigma * noise).astype(jnp.complex64)
+            got, ok = pucch2_rx(cfg, rx)
+            return jnp.logical_or(~ok, jnp.any(got != uci, axis=-1))
+
+    snr1 = args.snr1 if args.snr1 is not None else args.snr0
+    ok_all = True
+    for snr in np.arange(args.snr0, snr1 + 1e-9, args.snr_step):
+        rng = np.random.default_rng(23)
+        n_err = n_done = 0
+        t0 = time.time()
+        while n_done < args.n_trials:
+            errs = np.asarray(step(jax.random.PRNGKey(rng.integers(1 << 30)),
+                                   jnp.float32(snr)))
+            take = min(batch, args.n_trials - n_done)
+            n_err += int(errs[:take].sum())
+            n_done += take
+        rate = n_err / n_done
+        print(f"SNR {snr:.2f} dB: UCI error rate {rate:.6f} ({n_err}/{n_done}) "
+              f"in {time.time()-t0:.1f}s")
+        if rate > args.target:
+            ok_all = False
+    print("PUCCH test OK" if ok_all else "PUCCH test NOK")
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,3 +40,25 @@ def test_sharded_slot_sweep_psum():
     ok, total = sharded_slot_sweep(mesh, cfg, 20.0, tb, jax.random.PRNGKey(0), n_iters=8)
     assert int(total) == B
     assert bool(np.asarray(ok).all())
+
+
+def test_subcarrier_sharded_pusch_rx():
+    """C7 fronthaul-split analog: subcarrier blocks sharded over 8 devices
+    with pilot halo exchange + LLR all-gather + CB-sharded decode."""
+    import jax
+    from jax.sharding import Mesh
+    from openairinterface5g_tpu.models.pusch import PuschConfig, pusch_tx
+    from openairinterface5g_tpu.phy.ofdm import extract_from_grid, ofdm_demodulate
+    from openairinterface5g_tpu.parallel.pusch_sp import pusch_rx_subcarrier_sharded
+
+    mesh = Mesh(np.array(jax.devices()), axis_names=("sp",))
+    cfg = PuschConfig(mu=1, n_prb=16, mcs=16, n_layers=1, n_rx=1)  # 16 PRB / 8 dev
+    rng = np.random.default_rng(0)
+    tb = jnp.asarray(rng.integers(0, 2, (2, cfg.tbs)).astype(np.int8))
+    tx, _ = pusch_tx(cfg, tb)
+    noise = 0.02 * (rng.standard_normal(tx.shape) + 1j * rng.standard_normal(tx.shape))
+    rx = tx + jnp.asarray(noise.astype(np.complex64))
+    grid = extract_from_grid(cfg.fp, ofdm_demodulate(cfg.fp, rx, cfg.slot))
+    out = pusch_rx_subcarrier_sharded(mesh, cfg, grid, n_iters=10)
+    assert bool(out["tb_ok"].all())
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)

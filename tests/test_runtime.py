@@ -1,0 +1,45 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openairinterface5g_tpu.models.srs import SrsConfig, srs_rx, srs_tx
+from openairinterface5g_tpu.runtime.executor import SlotExecutor
+from openairinterface5g_tpu.utils.profiling import MeasGroup
+
+
+def test_srs_channel_estimate():
+    cfg = SrsConfig(n_prb=24, comb=2, u=3)
+    rng = np.random.default_rng(0)
+    B = 4
+    tx = srs_tx(cfg, B)  # (B, 1, 288)
+    h_true = (rng.standard_normal((B, 2, 1, 1)) + 1j * rng.standard_normal((B, 2, 1, 1))) / np.sqrt(2)
+    rx = h_true.astype(np.complex64) * np.asarray(tx)[:, None, 0][:, :, None, :]
+    rx = rx[:, :, 0, :] + 0.05 * (rng.standard_normal((B, 2, 288)) + 1j * rng.standard_normal((B, 2, 288))).astype(np.complex64)
+    out = srs_rx(cfg, jnp.asarray(rx))
+    h = np.asarray(out["h"])  # (B, 2, 1, 144)
+    est = h.mean(axis=-1)[:, :, 0]
+    np.testing.assert_allclose(est, h_true[:, :, 0, 0], atol=0.05)
+    assert float(np.asarray(out["noise_var"]).mean()) < 0.02
+
+
+def test_slot_executor_pipeline():
+    step = jax.jit(lambda i, x: jnp.sum(x * x) + i)
+    ex = SlotExecutor(lambda i, x: step(i, x), depth=2)
+    inputs = [(jnp.full((64, 64), float(i)),) for i in range(10)]
+    results = ex.run(inputs)
+    assert len(results) == 10
+    assert len(ex.stats) == 10
+    assert "slots: 10" in ex.report()
+    # results in order
+    for i, r in enumerate(results):
+        assert abs(float(r) - (64 * 64 * i * i + i)) < 1e-3
+
+
+def test_meas_group_report():
+    import time
+    mg = MeasGroup()
+    for _ in range(3):
+        with mg.measure("stage_a"):
+            time.sleep(0.001)
+    rep = mg.report()
+    assert "stage_a" in rep and mg["stage_a"].count == 3
