@@ -187,3 +187,87 @@ def pucch2_rx(cfg: Pucch2Config, rx: jnp.ndarray, list_size: int = 8):
     K = cfg.n_bits + CRC_POLYS[crc_name][0]
     p = polar.polar_params(K=K, E=cfg.E, n_max=10, i_il=False, n_pc=n_pc, i_bil=True)
     return polar.decode_with_crc(p, llr, crc_name, list_size=list_size)
+
+
+# --------------------------------------------------------------------------
+# Format 1 (TS 38.211 §6.3.2.4): sequence-modulated with time-domain OCC
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Pucch1Config:
+    n_bits: int = 1             # 1 (BPSK) or 2 (QPSK)
+    n_symbols: int = 14         # 4..14
+    start_symbol: int = 0
+    initial_cs: int = 0
+    hopping_id: int = 0
+    occ_index: int = 0          # time-domain OCC row
+
+    @property
+    def n_data_syms(self) -> int:
+        return self.n_symbols // 2
+
+    @property
+    def n_dmrs_syms(self) -> int:
+        return self.n_symbols - self.n_data_syms
+
+
+def _occ_matrix(n: int) -> np.ndarray:
+    """DFT orthogonal cover codes w_i(m) = exp(j 2 pi i m / n)."""
+    i = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    return np.exp(2j * np.pi * i * m / n).astype(np.complex64)
+
+
+def pucch1_tx(cfg: Pucch1Config, uci: jnp.ndarray) -> jnp.ndarray:
+    """(B,) UCI values -> (B, n_symbols, 12) REs.
+
+    DMRS on even symbol offsets, data on odd (38.211 Table 6.4.1.3.1.3-1
+    structure); data symbol = d * r_alpha * w_occ(m).
+    """
+    u = cfg.hopping_id % 30
+    base = jnp.asarray(cyclic_shifted(u, cfg.initial_cs))
+    # BPSK/QPSK point from UCI value
+    table = jnp.asarray(np.array(
+        [1 + 0j, -1 + 0j] if cfg.n_bits == 1 else
+        [(1 + 1j), (1 - 1j), (-1 + 1j), (-1 - 1j)], dtype=np.complex64) / (np.sqrt(2) if cfg.n_bits == 2 else 1))
+    d = jnp.take(table, uci)
+    w_d = jnp.asarray(_occ_matrix(cfg.n_data_syms)[cfg.occ_index])
+    w_m = jnp.asarray(_occ_matrix(cfg.n_dmrs_syms)[cfg.occ_index])
+    out = jnp.zeros((uci.shape[0], cfg.n_symbols, 12), jnp.complex64)
+    di = 0
+    mi = 0
+    for s in range(cfg.n_symbols):
+        if s % 2 == 0:  # DMRS
+            out = out.at[:, s].set(base[None] * w_m[mi])
+            mi += 1
+        else:
+            out = out.at[:, s].set(d[:, None] * base[None] * w_d[di])
+            di += 1
+    return out
+
+
+def pucch1_rx(cfg: Pucch1Config, rx: jnp.ndarray):
+    """(B, n_rx, n_symbols, 12) -> (uci (B,), metric).
+
+    Coherent detection (nr_decode_pucch1 analog): channel from DMRS
+    symbols (OCC-despread), data symbols OCC-despread and matched against
+    the constellation.
+    """
+    u = cfg.hopping_id % 30
+    base = jnp.asarray(np.conj(cyclic_shifted(u, cfg.initial_cs)))
+    w_d = jnp.asarray(np.conj(_occ_matrix(cfg.n_data_syms)[cfg.occ_index]))
+    w_m = jnp.asarray(np.conj(_occ_matrix(cfg.n_dmrs_syms)[cfg.occ_index]))
+    dmrs_syms = [s for s in range(cfg.n_symbols) if s % 2 == 0]
+    data_syms = [s for s in range(cfg.n_symbols) if s % 2 == 1]
+    y_m = rx[:, :, jnp.asarray(dmrs_syms)] * base * w_m[None, None, :, None]
+    h = jnp.mean(y_m, axis=2)                       # (B, R, 12)
+    y_d = rx[:, :, jnp.asarray(data_syms)] * base * w_d[None, None, :, None]
+    z = jnp.mean(y_d, axis=2)                       # (B, R, 12)
+    corr = jnp.sum(jnp.conj(h) * z, axis=(1, 2))    # (B,)
+    if cfg.n_bits == 1:
+        uci = (corr.real < 0).astype(jnp.int32)
+    else:
+        b0 = (corr.real < 0).astype(jnp.int32)
+        b1 = (corr.imag < 0).astype(jnp.int32)
+        uci = 2 * b0 + b1
+    return uci, jnp.abs(corr)

@@ -313,7 +313,7 @@ def _mmse_over_syms(h, y, nvar):
     if L == 2:
         x, eff = eq.mmse_equalize_2layer(hflat, yflat, nv)
     else:
-        x, eff = eq.zf_equalize(hflat, yflat, nv)
+        x, eff = eq.zf_equalize(hflat, yflat, nv[:, 0, None, None, None])
     x = x.reshape(B, S, L, M).transpose(0, 2, 1, 3)
     eff = eff.reshape(B, S, L, M).transpose(0, 2, 1, 3)
     return x, eff

@@ -46,7 +46,7 @@ def _edges(graph: LDPCGraph):
 
 @functools.lru_cache(maxsize=32)
 def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
-                   schedule: str = "layered", sb: int = 8):
+                   schedule: str = "layered", sb: int = 16, msg_dtype=jnp.float32):
     graph = build_graph(bg, Z)
     rows_edges = _edges(graph)
     C = graph.cols
@@ -71,7 +71,7 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
 
     def kernel(llr_ref, bits_ref, c2v, totals):
         # llr_ref, bits_ref: (C, sb, Z); c2v: (E, sb, Z); totals: (C, sb, Z)
-        c2v[...] = jnp.zeros((E, sb, Z), jnp.float32)
+        c2v[...] = jnp.zeros((E, sb, Z), msg_dtype)
         totals[...] = llr_ref[...]
 
         def flooding_iter(_, carry):
@@ -81,14 +81,14 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                 base = int(edge_base[ri])
                 rot = []
                 for d, (c, s) in enumerate(es):
-                    v2c = totals[c] - c2v[base + d]
+                    v2c = totals[c] - c2v[base + d].astype(jnp.float32)
                     rot.append(jnp.roll(v2c, -s, axis=-1) if s % Z else v2c)
                 m1, m2, sgn, mags = _cn_minsum(rot)
                 for d, (c, s) in enumerate(es):
                     mag = jnp.where(mags[d] == m1, m2, m1) * np.float32(alpha)
                     neg = sgn ^ (rot[d] < 0).astype(jnp.int32)
                     val = jnp.where(neg == 1, -mag, mag)
-                    c2v[base + d] = jnp.roll(val, s, axis=-1) if s % Z else val
+                    c2v[base + d] = (jnp.roll(val, s, axis=-1) if s % Z else val).astype(msg_dtype)
             # variable-node pass
             totals[...] = llr_ref[...]
             for ri, (r, es) in enumerate(rows_edges):
@@ -104,7 +104,7 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                 base = int(edge_base[ri])
                 rot = []
                 for d, (c, s) in enumerate(es):
-                    v2c = totals[c] - c2v[base + d]
+                    v2c = totals[c] - c2v[base + d].astype(jnp.float32)
                     rot.append(jnp.roll(v2c, -s, axis=-1) if s % Z else v2c)
                 m1, m2, sgn, mags = _cn_minsum(rot)
                 for d, (c, s) in enumerate(es):
@@ -113,8 +113,8 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                     val = jnp.where(neg == 1, -mag, mag)
                     new_c2v = jnp.roll(val, s, axis=-1) if s % Z else val
                     # totals[c] = llr-part + sum c2v: replace old with new
-                    totals[c] = totals[c] + (new_c2v - c2v[base + d])
-                    c2v[base + d] = new_c2v
+                    totals[c] = totals[c] + (new_c2v - c2v[base + d].astype(jnp.float32))
+                    c2v[base + d] = new_c2v.astype(msg_dtype)
             return carry
 
         body = layered_iter if schedule == "layered" else flooding_iter
@@ -131,7 +131,7 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
             out_specs=pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(llr8.shape, jnp.int8),
             scratch_shapes=[
-                pltpu.VMEM((E, sb, Z), jnp.float32),
+                pltpu.VMEM((E, sb, Z), msg_dtype),
                 pltpu.VMEM((C, sb, Z), jnp.float32),
             ],
         )(llr8)
@@ -145,7 +145,8 @@ def decode_pallas(
     n_iters: int = 8,
     alpha: float = 0.8125,
     schedule: str = "layered",
-    sb: int = 8,
+    sb: int = 16,
+    msg_dtype=jnp.float32,
 ):
     """Pallas-kernel decode: (B, cols*Z) LLRs -> (bits (B, K) int8, ok (B,)).
 
@@ -155,7 +156,7 @@ def decode_pallas(
     """
     B = llr.shape[0]
     Z, C = graph.Z, graph.cols
-    run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha, schedule, sb)
+    run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha, schedule, sb, msg_dtype)
     Bp = -(-B // sb) * sb
     x = llr.astype(jnp.float32).reshape(B, C, Z)
     if Bp != B:

@@ -50,3 +50,18 @@ def test_pucch2_polar_roundtrip():
     got, ok = pucch2_rx(cfg, jnp.asarray(rx))
     assert bool(ok.all())
     np.testing.assert_array_equal(np.asarray(got), uci)
+
+
+@pytest.mark.parametrize("n_bits", [1, 2])
+def test_pucch1_roundtrip(n_bits):
+    from openairinterface5g_tpu.models.pucch import Pucch1Config, pucch1_rx, pucch1_tx
+    cfg = Pucch1Config(n_bits=n_bits, n_symbols=14)
+    rng = np.random.default_rng(n_bits + 10)
+    B = 16
+    uci = rng.integers(0, 1 << n_bits, B)
+    tx = pucch1_tx(cfg, jnp.asarray(uci))
+    sigma = 10 ** (6.0 / 20)  # -6 dB per-RE SNR (heavy time spreading)
+    noise = (rng.standard_normal((B, 2, 14, 12)) + 1j * rng.standard_normal((B, 2, 14, 12))) / np.sqrt(2)
+    rx = tx[:, None] * np.exp(1j * 0.9) + sigma * noise.astype(np.complex64)
+    got, _ = pucch1_rx(cfg, jnp.asarray(rx))
+    np.testing.assert_array_equal(np.asarray(got), uci)

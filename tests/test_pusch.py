@@ -66,3 +66,16 @@ def test_pusch_transform_precoding():
     tb, out = run_chain(cfg, snr_db=10.0)
     assert bool(out["tb_ok"].all())
     np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_pusch_mimo4x4():
+    cfg = PuschConfig(mu=1, n_prb=24, mcs=9, n_layers=4, n_rx=4)
+    rng = np.random.default_rng(44)
+    tb = jnp.asarray(rng.integers(0, 2, (2, cfg.tbs)).astype(np.int8))
+    tx, _ = pusch_tx(cfg, tb)
+    H = (rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))).astype(np.complex64) / np.sqrt(2)
+    H = H + 2 * np.eye(4, dtype=np.complex64)  # well-conditioned
+    rx = jnp.einsum("rt,bts->brs", jnp.asarray(H), tx)
+    noise = 0.02 * (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape))
+    out = pusch_rx(cfg, rx + jnp.asarray(noise.astype(np.complex64)), n_iters=10)
+    assert bool(out["tb_ok"].all())
