@@ -130,3 +130,33 @@ def pdcch_rx(cfg: DciConfig, rx_res: jnp.ndarray, slot: int = 0, list_size: int 
     cinit = ((cfg.rnti << 16) + cfg.n_id) % (1 << 31)
     llr = scramble_llrs(llr, jnp.uint32(cinit))
     return dci_decode(cfg, llr, list_size=list_size)
+
+
+def blind_search(rx_res: jnp.ndarray, A: int, rnti: int,
+                 aggregation_levels=(1, 2, 4, 8), n_id: int = 0,
+                 coreset_prb: int = 48, slot: int = 0, list_size: int = 8):
+    """UE-side DCI blind decode over aggregation-level hypotheses.
+
+    Mirrors nr_dci_decoding_procedure (dci_nr.c:768): try each AL's
+    candidate at CCE 0, return the first CRC-passing payload.  All
+    hypotheses run batched; the RNTI-masked CRC is the detector.
+    Returns (payload (B, A), found (B,), al (B,)).
+    """
+    B = rx_res.shape[0]
+    best_payload = jnp.zeros((B, A), jnp.int8)
+    found = jnp.zeros((B,), bool)
+    al_out = jnp.zeros((B,), jnp.int32)
+    for al in aggregation_levels:
+        if 6 * al > coreset_prb:
+            continue
+        cfg = DciConfig(A=A, aggregation_level=al, rnti=rnti, n_id=n_id,
+                        coreset_prb=coreset_prb)
+        sub = rx_res[..., : 12 * 6 * al]
+        cfg_sub = DciConfig(A=A, aggregation_level=al, rnti=rnti, n_id=n_id,
+                            coreset_prb=6 * al)
+        bits, ok = pdcch_rx(cfg_sub, sub, slot=slot, list_size=list_size)
+        take = ok & ~found
+        best_payload = jnp.where(take[:, None], bits, best_payload)
+        al_out = jnp.where(take, al, al_out)
+        found = found | ok
+    return best_payload, found, al_out

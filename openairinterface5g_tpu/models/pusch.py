@@ -52,6 +52,7 @@ class PuschConfig:
     prb_start: int = 0               # allocation offset within the BWP
     n_bwp_prb: int | None = None     # carrier/BWP width (defaults to n_prb)
     decoder_backend: str = "xla"     # 'xla' | 'pallas' (coding/backend.py)
+    llr_quant_bits: int = 0          # 0 = float; 8 = int8 reference parity
 
     @property
     def bwp_prbs(self) -> int:
@@ -167,9 +168,17 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
     return grid_re, scrambled
 
 
-def pusch_tx(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
-    """(batch, TBS) payload bits -> (batch, n_tx_ant(=n_layers), samples)."""
+def pusch_tx(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
+             uci_cfg=None, ack_bits=None):
+    """(batch, TBS) payload bits -> (batch, n_tx_ant(=n_layers), samples).
+
+    With uci_cfg/ack_bits, HARQ-ACK is multiplexed onto the PUSCH
+    (models/uci_on_pusch.py).
+    """
     grid_re, scrambled = pusch_tx_grid(cfg, tb_bits, rv)
+    if uci_cfg is not None:
+        from .uci_on_pusch import mux_uci
+        grid_re = mux_uci(cfg, uci_cfg, grid_re, ack_bits)
     fp = cfg.fp
     grid = map_to_grid(fp, grid_re)
     tx = ofdm_modulate(fp, grid, cfg.slot)              # (B, L, samples)
@@ -181,7 +190,7 @@ def pusch_tx(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
 # --------------------------------------------------------------------------
 
 def pusch_rx(cfg: PuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
-             n_iters: int = 20, harq_buffers=None):
+             n_iters: int = 20, harq_buffers=None, uci_cfg=None):
     """(batch, n_rx, samples) -> decoded TB + status.
 
     Returns dict with tb_bits (B, TBS), tb_ok (B,), cb_ok (B, C),
@@ -191,11 +200,11 @@ def pusch_rx(cfg: PuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
     grid = ofdm_demodulate(fp, rx_samples, cfg.slot)    # (B, R, sym, fft)
     re_grid = extract_from_grid(fp, grid)               # (B, R, sym, n_sc)
     return pusch_rx_grid(cfg, re_grid, rv=rv, n_iters=n_iters,
-                         harq_buffers=harq_buffers)
+                         harq_buffers=harq_buffers, uci_cfg=uci_cfg)
 
 
 def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
-                  n_iters: int = 20, harq_buffers=None):
+                  n_iters: int = 20, harq_buffers=None, uci_cfg=None):
     """RX from a (batch, n_rx, symbols, n_sc_bwp) resource-element grid."""
     p, crc_name = cfg.seg_params()
     qm, _ = cfg.qm_rate
@@ -252,6 +261,12 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
         mag = mag[:, None]
     else:
         x, mag = _mmse_over_syms(h, y, nvar)
+    ack_bits_out = None
+    if uci_cfg is not None:
+        from .uci_on_pusch import decode_ack, demux_uci
+        ack_llr, x, mag = demux_uci(cfg, uci_cfg, x, mag)
+        ack_bits_out = decode_ack(uci_cfg, ack_llr)
+
     # back to codeword order: (B, L, S, M) -> LLRs -> layer demap
     x_f = x.reshape(B, cfg.n_layers, -1)
     mag_f = mag.reshape(B, cfg.n_layers, -1)
@@ -262,6 +277,8 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
     llr_cw = llr_sym.swapaxes(1, 2).reshape(B, -1)
     cinit = pusch_cinit(cfg.rnti, 0, cfg.n_id)
     llr_cw = scramble_llrs(llr_cw, cinit)
+    if cfg.llr_quant_bits:
+        llr_cw = llr_mod.quantize(llr_cw, bits=cfg.llr_quant_bits)
 
     # --- split per CB, deinterleave, rate recover, then ONE batched decode
     # over the (B*C) dim (the reference's per-CB thread jobs, C2 mapping;
@@ -292,6 +309,7 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
         "cb_ok": cb_ok,
         "llrs": llr_cw,
         "harq_buffers": new_harq,
+        "ack_bits": ack_bits_out,
     }
 
 

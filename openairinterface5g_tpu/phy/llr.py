@@ -49,3 +49,18 @@ def llrs(x: jnp.ndarray, mag: jnp.ndarray, qm: int) -> jnp.ndarray:
     else:
         raise ValueError(f"qm={qm}")
     return out.reshape(*x.shape[:-1], x.shape[-1] * qm).astype(jnp.float32)
+
+
+def quantize(llr: jnp.ndarray, bits: int = 8, target_rms: float = 16.0) -> jnp.ndarray:
+    """Quantize LLRs to `bits`-bit integer range (8-bit reference parity).
+
+    The reference carries 8-bit LLRs end-to-end with AGC-style shift
+    management (log2_maxh / nr_ulsch_scale_channel); here float LLRs are
+    scaled so their RMS sits at `target_rms` of the [-2^(b-1)+1, 2^(b-1)-1]
+    range, rounded, and saturated — decoding then sees exactly the
+    information an int8 pipeline would.
+    """
+    lim = float(2 ** (bits - 1) - 1)
+    rms = jnp.sqrt(jnp.mean(llr * llr, axis=-1, keepdims=True) + 1e-12)
+    scaled = llr * (target_rms / rms)
+    return jnp.clip(jnp.round(scaled), -lim, lim)

@@ -42,3 +42,20 @@ def test_pdcch_grid_roundtrip(al, snr_db):
     bits, ok = pdcch_rx(cfg, jnp.asarray(rx))
     assert bool(ok.all())
     np.testing.assert_array_equal(np.asarray(bits), payload)
+
+
+def test_dci_blind_search():
+    from openairinterface5g_tpu.models.pdcch import blind_search, pdcch_tx_grid
+    rng = np.random.default_rng(7)
+    B = 3
+    A, rnti = 39, 0xABCD
+    cfg = DciConfig(A=A, aggregation_level=4, rnti=rnti, coreset_prb=48)
+    payload = rng.integers(0, 2, (B, A)).astype(np.int8)
+    grid = pdcch_tx_grid(cfg, jnp.asarray(payload))  # AL4 at CCE 0
+    noise = 0.1 * (rng.standard_normal((B, 1) + grid.shape[1:])
+                   + 1j * rng.standard_normal((B, 1) + grid.shape[1:]))
+    rx = grid[:, None] + jnp.asarray(noise.astype(np.complex64))
+    bits, found, al = blind_search(rx, A, rnti, coreset_prb=48)
+    assert bool(found.all())
+    np.testing.assert_array_equal(np.asarray(al), 4)
+    np.testing.assert_array_equal(np.asarray(bits), payload)

@@ -79,3 +79,33 @@ def test_pusch_mimo4x4():
     noise = 0.02 * (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape))
     out = pusch_rx(cfg, rx + jnp.asarray(noise.astype(np.complex64)), n_iters=10)
     assert bool(out["tb_ok"].all())
+
+
+def test_pusch_int8_llr_parity():
+    """8-bit quantized LLRs (reference int8 pipeline parity) must decode at
+    the same operating point as float."""
+    cfg_f = PuschConfig(mu=1, n_prb=24, mcs=9)
+    cfg_q = PuschConfig(mu=1, n_prb=24, mcs=9, llr_quant_bits=8)
+    tb, out_f = run_chain(cfg_f, snr_db=6.5, batch=4, seed=3)
+    tb2, out_q = run_chain(cfg_q, snr_db=6.5, batch=4, seed=3)
+    assert bool(out_f["tb_ok"].all()) and bool(out_q["tb_ok"].all())
+
+
+def test_uci_on_pusch():
+    """HARQ-ACK multiplexed on PUSCH: both TB and ACK decode (puncturing)."""
+    from openairinterface5g_tpu.models.uci_on_pusch import UciOnPuschConfig
+    from openairinterface5g_tpu.sim.channel import add_noise
+    import jax as _jax
+
+    cfg = PuschConfig(mu=1, n_prb=24, mcs=9)
+    ucfg = UciOnPuschConfig(n_ack_bits=2)
+    rng = np.random.default_rng(8)
+    B = 4
+    tb = jnp.asarray(rng.integers(0, 2, (B, cfg.tbs)).astype(np.int8))
+    ack = jnp.asarray(rng.integers(0, 2, (B, 2)).astype(np.int8))
+    tx, _ = pusch_tx(cfg, tb, uci_cfg=ucfg, ack_bits=ack)
+    sig = float(np.mean(np.abs(np.asarray(tx)) ** 2))
+    rx = add_noise(_jax.random.PRNGKey(0), tx, sig * 10 ** (-8.0 / 10) * (cfg.fp.fft_size / cfg.fp.n_sc))
+    out = pusch_rx(cfg, rx, n_iters=15, uci_cfg=ucfg)
+    assert bool(out["tb_ok"].all()), "TB must survive the UCI puncturing"
+    np.testing.assert_array_equal(np.asarray(out["ack_bits"]), np.asarray(ack))
