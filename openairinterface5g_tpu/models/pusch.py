@@ -53,6 +53,7 @@ class PuschConfig:
     n_bwp_prb: int | None = None     # carrier/BWP width (defaults to n_prb)
     decoder_backend: str = "xla"     # 'xla' | 'pallas' (coding/backend.py)
     llr_quant_bits: int = 0          # 0 = float; 8 = int8 reference parity
+    chest_window: int = 8            # pilot smoothing window (filt16a analog)
 
     @property
     def bwp_prbs(self) -> int:
@@ -212,32 +213,38 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
     m_per_sym = 12 * cfg.n_prb
     a0 = cfg.sc0
 
-    # --- channel estimation at DMRS symbol(s), averaged over them
-    s = cfg.dmrs_symbols[0]
-    cinit_d = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
-    pil = refsig.dmrs_sequence(cinit_d, 6 * cfg.n_prb)
+    # --- channel estimation: LS per DMRS symbol, averaged over symbols
+    # (block fading), CDM-separated per port, then frequency smoothing
+    # (the filt16a interpolation-LUT analog) and comb-2 interpolation
     h_layers = []
     nvars = []
     for port in range(cfg.n_layers):
         wf, delta = refsig.dmrs_type1_port_weights(port)
         sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta) + a0
-        yp = re_grid[:, :, s, :][..., jnp.asarray(sc)]   # (B, R, P)
-        ls = ce.ls_estimate(yp, pil)
-        if cfg.n_layers > 1:
-            # CDM separation: average pilot pairs with the port's OCC
-            w = jnp.asarray(np.tile(wf, 3 * cfg.n_prb), dtype=jnp.complex64)
-            ls = ls * jnp.conj(w)
-            pair = ls.reshape(*ls.shape[:-1], -1, 2).mean(axis=-1)
-            hp = jnp.repeat(pair, 2, axis=-1)
-            # noise estimate must use the CDM-separated values (raw
-            # adjacent-pilot differences would measure the other port):
-            # each pair value averages 2 pilots -> var sigma^2/2, so
-            # E|pair_k - pair_{k+1}|^2 = sigma^2
-            d = pair[..., 1:] - pair[..., :-1]
-            nvars.append(jnp.mean(jnp.abs(d) ** 2, axis=-1))
-        else:
-            hp = ls
-            nvars.append(ce.noise_variance(yp, ls, pil))
+        hp_syms = []
+        for s in cfg.dmrs_symbols:
+            cinit_d = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
+            pil = refsig.dmrs_sequence(cinit_d, 6 * cfg.n_prb)
+            yp = re_grid[:, :, s, :][..., jnp.asarray(sc)]   # (B, R, P)
+            ls = ce.ls_estimate(yp, pil)
+            if cfg.n_layers > 1:
+                # CDM separation: average pilot pairs with the port's OCC
+                w = jnp.asarray(np.tile(wf, 3 * cfg.n_prb), dtype=jnp.complex64)
+                ls = ls * jnp.conj(w)
+                pair = ls.reshape(*ls.shape[:-1], -1, 2).mean(axis=-1)
+                hp_s = jnp.repeat(pair, 2, axis=-1)
+                # noise estimate from CDM-separated values (raw adjacent
+                # differences would measure the other port): each pair
+                # value averages 2 pilots -> E|pair_k - pair_{k+1}|^2 = s2
+                d = pair[..., 1:] - pair[..., :-1]
+                nvars.append(jnp.mean(jnp.abs(d) ** 2, axis=-1))
+            else:
+                hp_s = ls
+                nvars.append(ce.noise_variance(yp, ls, pil))
+            hp_syms.append(hp_s)
+        hp = sum(hp_syms) / len(hp_syms)
+        if cfg.chest_window > 1:
+            hp = ce.freq_average(hp, window=cfg.chest_window)
         h = ce.comb2_interpolate(hp, m_per_sym, delta)
         h_layers.append(h)
     h_est = jnp.stack(h_layers, axis=2)  # (B, R, L, m_per_sym)

@@ -159,3 +159,35 @@ def estimate_common_phase(y: jnp.ndarray, h: jnp.ndarray, pilots: jnp.ndarray) -
     """
     z = jnp.sum(y * jnp.conj(h * pilots), axis=-1)
     return jnp.conj(z / jnp.maximum(jnp.abs(z), 1e-12))
+
+
+# --------------------------------------------------------------------------
+# PRS — positioning reference signal (TS 38.211 §7.4.1.7), Rel-16
+# --------------------------------------------------------------------------
+
+def prs_cinit(slot: int, symbol: int, n_id_prs: int, symbols_per_slot: int = 14) -> int:
+    """TS 38.211 7.4.1.7.1 sequence init."""
+    return (
+        ((1 << 22) * (n_id_prs // 1024)
+         + (1 << 10) * (symbols_per_slot * slot + symbol + 1) * (2 * (n_id_prs % 1024) + 1)
+         + (n_id_prs % 1024)) % (1 << 31)
+    )
+
+
+def prs_sequence(cinit, n_re: int) -> jnp.ndarray:
+    """Gold-seeded QPSK PRS values."""
+    return dmrs_sequence(cinit, n_re)
+
+
+def prs_staircase_offsets(comb_size: int, n_symbols: int, re_offset: int = 0) -> np.ndarray:
+    """Per-symbol subcarrier offset of the PRS comb (staircase pattern,
+    TS 38.211 Table 7.4.1.7.3-1), for comb sizes 2/4/6/12."""
+    patterns = {
+        2: [0, 1],
+        4: [0, 2, 1, 3],
+        6: [0, 3, 1, 4, 2, 5],
+        12: [0, 6, 3, 9, 1, 7, 4, 10, 2, 8, 5, 11],
+    }
+    pat = patterns[comb_size]
+    return np.array([(re_offset + pat[l % len(pat)]) % comb_size
+                     for l in range(n_symbols)], dtype=np.int32)

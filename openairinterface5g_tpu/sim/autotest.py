@@ -39,6 +39,12 @@ CASES = [
     ("prachsim-m28dB", "prachsim", ["-s", "-28", "-n", "256"], "PRACH test OK", True),
     ("ulschsim-mcs9", "ulschsim", ["-m", "9", "-R", "106", "-s", "6", "-n", "32"], "ULSCH test OK", False),
     ("dlschsim-mcs15", "dlschsim", ["-m", "15", "-R", "106", "-s", "10", "-n", "32"], "DLSCH test OK", False),
+    # 3GPP G-FR1-A5-13 (40 MHz, 30 kHz SCS, 2 RX, TDL-A 10ns, 2 HARQ
+    # rounds, 7 iters): 70% TP at 12.4 dB (test_case_list.xml:457)
+    ("ulsim-conformance-GFR1A513", "ulsim",
+     ["-m", "20", "-R", "106", "-y", "2", "-g", "TDLA", "--delay-spread", "10",
+      "-M", "2", "-I", "7", "-s", "12.4", "-n", "64", "-t", "70", "-D", "1",
+      "--chest-window", "16"], "PUSCH test OK", False),
 ]
 
 

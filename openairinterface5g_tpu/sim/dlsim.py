@@ -30,10 +30,15 @@ def main(argv=None):
     ap.add_argument("-W", "--n-layers", type=int, default=1)
     ap.add_argument("-y", "--n-rx", type=int, default=1)
     ap.add_argument("-g", "--channel", type=str, default="AWGN",
-                    choices=["AWGN", "TDLA", "TDLB", "TDLC"])
+                    choices=["AWGN", "TDLA", "TDLB", "TDLC", "EPA", "EVA", "ETU"])
     ap.add_argument("-M", "--max-rounds", type=int, default=1)
+    ap.add_argument("--delay-spread", type=float, default=30.0, help="TDL delay spread (ns)")
+    ap.add_argument("-D", "--dmrs-add-pos", type=int, default=0, choices=[0, 1],
+                    help="additional DMRS position (0: single at sym 2; 1: add sym 11)")
+    ap.add_argument("--chest-window", type=int, default=8)
     ap.add_argument("-I", "--n-iters", type=int, default=20)
     ap.add_argument("-t", "--eff-tp-check", type=float, default=70.0)
+    ap.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas"])
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
@@ -41,7 +46,9 @@ def main(argv=None):
 
     cfg = PdschConfig(mu=args.mu, n_prb=args.n_prb, mcs=args.mcs,
                       mcs_table=args.mcs_table, n_layers=args.n_layers,
-                      n_rx=args.n_rx)
+                      n_rx=args.n_rx, decoder_backend=args.backend,
+                      dmrs_symbols=(2, 11) if args.dmrs_add_pos else (2,),
+                      chest_window=args.chest_window)
     p, _ = cfg.seg_params()
     print(f"PDSCH sim: {args.n_prb} PRB mu={args.mu} MCS {args.mcs} "
           f"(Qm={cfg.qm_rate[0]} R={cfg.qm_rate[1]:.3f}) {args.n_layers}x{args.n_rx} "
@@ -51,7 +58,8 @@ def main(argv=None):
     batch = args.batch or max(1, min(64, args.n_trials))
     results, ok = run_sweep(cfg, snrs, args.n_trials, batch,
                             max_rounds=args.max_rounds, n_iters=args.n_iters,
-                            channel=args.channel, eff_tp_check=args.eff_tp_check)
+                            channel=args.channel, eff_tp_check=args.eff_tp_check,
+                            delay_spread_ns=args.delay_spread)
     if args.json:
         print(json.dumps(results))
     print("PDSCH test OK" if ok else "PDSCH test NOK")

@@ -22,14 +22,14 @@ import numpy as np
 HARQ_RV_SEQ = (0, 2, 3, 1)  # nr_rv_round_map (gNB_scheduler.c:56)
 
 
-def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str):
+def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str, delay_spread_ns: float = 30.0):
     import jax
     import jax.numpy as jnp
 
     from ..models.pusch import pusch_rx, pusch_tx
     from ..sim.channel import ChannelModel, add_noise, apply_channel
 
-    model = ChannelModel(channel_name, cfg.n_layers, cfg.n_rx, cfg.fp.sample_rate)
+    model = ChannelModel(channel_name, cfg.n_layers, cfg.n_rx, cfg.fp.sample_rate, delay_spread_ns=delay_spread_ns)
 
     @jax.jit
     def step(key, tb, snr_db):
@@ -58,11 +58,11 @@ def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str):
 
 def run_sweep(cfg, snrs, n_trials: int, batch: int, max_rounds: int = 1,
               n_iters: int = 20, channel: str = "AWGN", eff_tp_check: float = 70.0,
-              seed: int = 42, verbose: bool = True):
+              seed: int = 42, verbose: bool = True, delay_spread_ns: float = 30.0):
     import jax
     import jax.numpy as jnp
 
-    step = build_step(cfg, max_rounds, n_iters, channel)
+    step = build_step(cfg, max_rounds, n_iters, channel, delay_spread_ns)
     rng = np.random.default_rng(seed)
     results = []
     all_pass = True
@@ -117,10 +117,15 @@ def main(argv=None):
     ap.add_argument("-W", "--n-layers", type=int, default=1)
     ap.add_argument("-y", "--n-rx", type=int, default=1)
     ap.add_argument("-g", "--channel", type=str, default="AWGN",
-                    choices=["AWGN", "TDLA", "TDLB", "TDLC"])
+                    choices=["AWGN", "TDLA", "TDLB", "TDLC", "EPA", "EVA", "ETU"])
     ap.add_argument("-M", "--max-rounds", type=int, default=1)
+    ap.add_argument("--delay-spread", type=float, default=30.0, help="TDL delay spread (ns)")
+    ap.add_argument("-D", "--dmrs-add-pos", type=int, default=0, choices=[0, 1],
+                    help="additional DMRS position (0: single at sym 2; 1: add sym 11)")
+    ap.add_argument("--chest-window", type=int, default=8)
     ap.add_argument("-I", "--n-iters", type=int, default=20)
     ap.add_argument("-t", "--eff-tp-check", type=float, default=70.0)
+    ap.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas"])
     ap.add_argument("--json", action="store_true", help="emit JSON results")
     args = ap.parse_args(argv)
 
@@ -128,7 +133,9 @@ def main(argv=None):
 
     cfg = PuschConfig(mu=args.mu, n_prb=args.n_prb, mcs=args.mcs,
                       mcs_table=args.mcs_table, n_layers=args.n_layers,
-                      n_rx=args.n_rx)
+                      n_rx=args.n_rx, decoder_backend=args.backend,
+                      dmrs_symbols=(2, 11) if args.dmrs_add_pos else (2,),
+                      chest_window=args.chest_window)
     p, _ = cfg.seg_params()
     print(f"PUSCH sim: {args.n_prb} PRB mu={args.mu} MCS {args.mcs} "
           f"(Qm={cfg.qm_rate[0]} R={cfg.qm_rate[1]:.3f}) {args.n_layers}x{args.n_rx} "
@@ -138,7 +145,8 @@ def main(argv=None):
     batch = args.batch or max(1, min(64, args.n_trials))
     results, ok = run_sweep(cfg, snrs, args.n_trials, batch,
                             max_rounds=args.max_rounds, n_iters=args.n_iters,
-                            channel=args.channel, eff_tp_check=args.eff_tp_check)
+                            channel=args.channel, eff_tp_check=args.eff_tp_check,
+                            delay_spread_ns=args.delay_spread)
     if args.json:
         print(json.dumps(results))
     # same pass string the reference CI greps for (test_case_list.xml)
