@@ -53,6 +53,8 @@ class SlotUlConfig:
     pusch: tuple = ()        # tuple[PuschConfig]
     pucch0: tuple = ()       # tuple[(Pucch0Config, prb)]
     pucch2: tuple = ()       # tuple[(Pucch2Config, prb_start)]
+    prach: tuple = ()        # tuple[PrachConfig] (occasion fed separately,
+                             # rx_nr_prach_ru runs at the RU numerology)
     slot: int = 0
 
 
@@ -83,7 +85,7 @@ def gnb_dl_slot(dl: SlotDlConfig, tb_payloads: Sequence[jnp.ndarray],
 
 
 def gnb_ul_slot(ul: SlotUlConfig, rx_samples: jnp.ndarray,
-                n_iters: int = 12, harq=None):
+                n_iters: int = 12, harq=None, prach_freq=None):
     """Receive one UL slot -> indication dicts.
 
     rx_samples: (B, n_rx, n_samp).  Returns dict with keys:
@@ -120,10 +122,17 @@ def gnb_ul_slot(ul: SlotUlConfig, rx_samples: jnp.ndarray,
         uci, ok = pucch2_rx(cfg2, rx2)
         uci2.append({"uci": uci, "ok": ok})
 
+    rach = []
+    if prach_freq is not None:
+        from .prach import prach_rx
+        for pcfg in ul.prach:
+            rach.append(prach_rx(pcfg, prach_freq))
+
     return {
         "crc_indication": crc_ind,
         "rx_data": rx_data,
         "uci0": uci0,
         "uci2": uci2,
+        "rach_indication": rach,
         "harq": new_harq,
     }

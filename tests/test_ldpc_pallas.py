@@ -51,3 +51,21 @@ def test_pallas_batch_padding():
         bits, ok = decode_pallas(g, jnp.asarray(llr), n_iters=6)
     assert bits.shape == (3, g.K)
     assert bool(np.asarray(ok).all())
+
+
+@pytest.mark.parametrize("schedule", ["layered", "flooding"])
+def test_pallas_int8_path(schedule):
+    """Fixed-point int8-message / int16-total kernel (reference 8-bit design)."""
+    g = build_graph(2, 64)
+    rng = np.random.default_rng(5)
+    info = rng.integers(0, 2, (4, g.K)).astype(np.int8)
+    cw = np.asarray(encode(g, jnp.asarray(info))).astype(np.float32)
+    sigma = 10 ** (-3.0 / 20)
+    y = (1 - 2 * cw) + sigma * rng.standard_normal(cw.shape).astype(np.float32)
+    llr = 2 * y / sigma**2
+    llr[:, : 2 * g.Z] = 0
+    with pltpu.force_tpu_interpret_mode():
+        bits, ok = decode_pallas(g, jnp.asarray(llr), n_iters=8,
+                                 schedule=schedule, msg_dtype=jnp.int8, sb=8)
+    assert bool(np.asarray(ok).all())
+    np.testing.assert_array_equal(np.asarray(bits), info)
