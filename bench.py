@@ -45,17 +45,19 @@ def main():
                         + 1j * jax.random.normal(jax.random.fold_in(key, 1), tx.shape))
         return tx + 0.1 * tx[:, ::-1, :] + noise.astype(jnp.complex64)
 
-    rx = jax.block_until_ready(make_rx(tb, jax.random.PRNGKey(0)))
+    # STRICT methodology: the tunnel elides repeated identical executions,
+    # so every timed repetition gets a distinct input; block on all results.
+    n_rep = 10
+    rxs = [jax.block_until_ready(make_rx(tb, jax.random.PRNGKey(i)))
+           for i in range(n_rep)]
 
     step = jax.jit(lambda r: pusch_rx(cfg, r, n_iters=8)["tb_ok"])
-    ok = jax.block_until_ready(step(rx))  # compile
+    ok = jax.block_until_ready(step(rxs[0]))  # compile
     assert bool(np.asarray(ok).all()), "bench config must decode cleanly"
 
-    n_rep = 10
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        ok = step(rx)
-    jax.block_until_ready(ok)
+    outs = [step(rxs[i]) for i in range(n_rep)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     slots_per_s = B * n_rep / dt
 

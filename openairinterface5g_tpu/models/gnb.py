@@ -21,7 +21,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FrameParams, make_frame_params
+from ..config import make_frame_params
 from ..phy.ofdm import extract_from_grid, map_to_grid, ofdm_demodulate, ofdm_modulate
 from .pbch import PbchConfig, ssb_generate
 from .pdsch import PdschConfig

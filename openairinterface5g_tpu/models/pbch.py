@@ -18,7 +18,7 @@ import numpy as np
 from ..coding import polar
 from ..coding.crc import crc_attach
 from ..phy import refsig
-from ..phy.channel_estimation import ls_estimate, noise_variance
+from ..phy.channel_estimation import ls_estimate
 from ..phy.llr import llrs as llr_compute
 from ..phy.modulation import modulate
 from ..phy.scrambling import gold_sequence

@@ -15,7 +15,6 @@ C2/C4 become tensor dims).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +53,7 @@ class PuschConfig:
     decoder_backend: str = "xla"     # 'xla' | 'pallas' (coding/backend.py)
     llr_quant_bits: int = 0          # 0 = float; 8 = int8 reference parity
     chest_window: int = 8            # pilot smoothing window (filt16a analog)
+    chest_mode: str = "window"       # 'window' | 'delay' (delay-domain denoise)
 
     @property
     def bwp_prbs(self) -> int:
@@ -243,7 +243,9 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
                 nvars.append(ce.noise_variance(yp, ls, pil))
             hp_syms.append(hp_s)
         hp = sum(hp_syms) / len(hp_syms)
-        if cfg.chest_window > 1:
+        if cfg.chest_mode == "delay":
+            hp = ce.delay_domain_denoise(hp)
+        elif cfg.chest_window > 1:
             hp = ce.freq_average(hp, window=cfg.chest_window)
         h = ce.comb2_interpolate(hp, m_per_sym, delta)
         h_layers.append(h)

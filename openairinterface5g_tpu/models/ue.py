@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pdcch import blind_search
-from .pdsch import PdschConfig, pdsch_rx
+from .pdsch import PdschConfig
 
 
 # compact DCI "format 1_0-lite" payload layout (bits, MSB first)

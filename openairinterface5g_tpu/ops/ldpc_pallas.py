@@ -46,7 +46,8 @@ def _edges(graph: LDPCGraph):
 
 @functools.lru_cache(maxsize=32)
 def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
-                   schedule: str = "layered", sb: int = 16, msg_dtype=jnp.float32):
+                   schedule: str = "layered", sb: int = 16, msg_dtype=jnp.float32,
+                   check_every: int = 0):
     """msg_dtype selects the numeric path:
       float32  — float messages/totals (default)
       int8     — int8 message storage + int32 compute, saturating,
@@ -93,10 +94,26 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
             sgn = sgn ^ (v < 0).astype(jnp.int32)
         return m1, m2, sgn, mags
 
-    def kernel(llr_ref, bits_ref, c2v, totals):
+    def kernel(llr_ref, bits_ref, c2v, totals, done):
         # llr_ref, bits_ref: (C, sb, Z); c2v: (E, sb, Z); totals: (C, sb, Z)
+        # done: (1,) SMEM flag for in-kernel early termination — once every
+        # code block in this group satisfies all parity checks, remaining
+        # fori iterations become no-ops (the decode_abort_t / CRC-early-stop
+        # analog of nrLDPC_decoder.c:554).
         c2v[...] = jnp.zeros((E, sb, Z), msg_dtype)
         totals[...] = llr_ref[...]
+        done[0] = 0
+
+        def _syndrome_ok():
+            """1 iff every row's parity holds for every CB in the group."""
+            bad = jnp.zeros((sb, Z), jnp.int32)
+            for ri, (r, es) in enumerate(rows_edges):
+                syn = jnp.zeros((sb, Z), jnp.int32)
+                for d, (c, s) in enumerate(es):
+                    b = (totals[c] < 0).astype(jnp.int32)
+                    syn = syn ^ (jnp.roll(b, -s, axis=-1) if s % Z else b)
+                bad = bad | syn
+            return (jnp.sum(bad) == 0).astype(jnp.int32)
 
         def flooding_iter(_, carry):
             # check-node pass with totals fixed (each edge belongs to one
@@ -142,7 +159,18 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                     c2v[base + d] = new_c2v
             return carry
 
-        body = layered_iter if schedule == "layered" else flooding_iter
+        inner = layered_iter if schedule == "layered" else flooding_iter
+        if check_every:
+            def body(it, carry):
+                @pl.when(done[0] == 0)
+                def _():
+                    inner(it, carry)
+                    @pl.when(it % check_every == check_every - 1)
+                    def _():
+                        done[0] = _syndrome_ok()
+                return carry
+        else:
+            body = inner
         jax.lax.fori_loop(0, n_iters, body, 0)
         bits_ref[...] = (totals[...] < 0).astype(jnp.int8)
 
@@ -158,6 +186,7 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
             scratch_shapes=[
                 pltpu.VMEM((E, sb, Z), msg_dtype),
                 pltpu.VMEM((C, sb, Z), acc_dtype),
+                pltpu.SMEM((1,), jnp.int32),
             ],
         )(llr8)
 
@@ -172,6 +201,9 @@ def decode_pallas(
     schedule: str = "layered",
     sb: int = 16,
     msg_dtype=jnp.float32,
+    check_every: int = 0,   # in-kernel early stop (experimental: interpret-
+                            # mode verified; current Mosaic rejects the
+                            # predicated-iteration form on hardware)
 ):
     """Pallas-kernel decode: (B, cols*Z) LLRs -> (bits (B, K) int8, ok (B,)).
 
@@ -181,7 +213,7 @@ def decode_pallas(
     """
     B = llr.shape[0]
     Z, C = graph.Z, graph.cols
-    run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha, schedule, sb, msg_dtype)
+    run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha, schedule, sb, msg_dtype, check_every)
     Bp = -(-B // sb) * sb
     if msg_dtype == jnp.int8:
         from ..phy.llr import quantize

@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..coding import ldpc, rate_matching
@@ -29,7 +29,6 @@ from ..models.pusch import PuschConfig
 from ..phy import refsig
 from ..phy.channel_estimation import ls_estimate
 from ..phy.llr import llrs as llr_compute
-from ..phy.modulation import layer_demap
 from ..phy.scrambling import pusch_cinit, scramble_llrs
 
 

@@ -84,3 +84,24 @@ def estimate_slot(
     h = comb2_interpolate(hp, n_sc, delta)
     nvar = noise_variance(yp, hp, pilots)
     return h, nvar
+
+
+def delay_domain_denoise(hp: jnp.ndarray, keep_frac: float = 0.1,
+                         guard_frac: float = 0.02) -> jnp.ndarray:
+    """Denoise pilot-domain LS estimates via delay-domain truncation.
+
+    IDFT the (..., P) frequency-domain estimates to the delay domain, keep
+    only taps within the CP span (plus a small negative guard for timing
+    error), zero the rest, and transform back.  On sparse channels this is
+    the near-MMSE denoiser the reference's interpolation filter LUTs
+    approximate — and it is just two batched FFTs on TPU.
+    """
+    P = hp.shape[-1]
+    keep = max(1, int(np.ceil(keep_frac * P)))
+    guard = max(1, int(np.ceil(guard_frac * P)))
+    g = jnp.fft.ifft(hp, axis=-1)
+    mask = np.zeros(P, np.float32)
+    mask[:keep] = 1.0
+    mask[P - guard:] = 1.0
+    g = g * jnp.asarray(mask)
+    return jnp.fft.fft(g, axis=-1).astype(hp.dtype)

@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas"])
     args = ap.parse_args(argv)
 
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

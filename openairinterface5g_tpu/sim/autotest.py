@@ -67,6 +67,9 @@ def main(argv=None):
     ap.add_argument("--filter", type=str, default="")
     args = ap.parse_args(argv)
 
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     results = []
     for cid, module, case_argv, pass_str, quick in CASES:
         if not args.full and not quick:

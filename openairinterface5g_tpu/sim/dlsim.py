@@ -42,6 +42,9 @@ def main(argv=None):
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     from ..models.pdsch import PdschConfig
 
     cfg = PdschConfig(mu=args.mu, n_prb=args.n_prb, mcs=args.mcs,

@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("-g", "--bg", type=int, default=None, choices=[1, 2])
     args = ap.parse_args(argv)
 
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

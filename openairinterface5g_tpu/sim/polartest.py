@@ -31,6 +31,9 @@ def main(argv=None):
     ap.add_argument("-L", "--list-size", type=int, default=8)
     args = ap.parse_args(argv)
 
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

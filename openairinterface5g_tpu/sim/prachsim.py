@@ -27,6 +27,9 @@ def main(argv=None):
                     help="pass: miss-detection rate below this")
     args = ap.parse_args(argv)
 
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

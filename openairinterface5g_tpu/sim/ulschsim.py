@@ -29,6 +29,9 @@ def main(argv=None, label: str = "ULSCH"):
     ap.add_argument("-I", "--n-iters", type=int, default=20)
     args = ap.parse_args(argv)
 
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -12,7 +12,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 import time
@@ -128,6 +127,9 @@ def main(argv=None):
     ap.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas"])
     ap.add_argument("--json", action="store_true", help="emit JSON results")
     args = ap.parse_args(argv)
+
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from ..models.pusch import PuschConfig
 
