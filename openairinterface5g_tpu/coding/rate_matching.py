@@ -96,3 +96,48 @@ def deinterleave_rx(llr_f: jnp.ndarray, Qm: int) -> jnp.ndarray:
     E = llr_f.shape[-1]
     lead = llr_f.shape[:-1]
     return llr_f.reshape(*lead, E // Qm, Qm).swapaxes(-1, -2).reshape(*lead, E)
+
+
+@functools.lru_cache(maxsize=64)
+def fused_rx_indices(bg: int, Z: int, kc: int, rv: int, es: tuple, qm: int, F: int):
+    """One global (G,) permutation fusing per-CB deinterleave + rate-match
+    scatter: codeword-position g -> flat index into the (C*N,) LLR buffer.
+
+    Collapses the reference's per-CB deinterleave->recover loops (and our
+    previous C separate scatter-adds) into a single scatter over the whole
+    transport block — one HBM pass instead of C.
+    """
+    N = (_DEN[bg] + 2) * Z - 2 * Z
+    idx = np.empty(sum(es), dtype=np.int32)
+    off = 0
+    for j, E in enumerate(es):
+        sel = selection_indices(bg, Z, kc, rv, E, F)          # (E,) into N
+        # deinterleave: f[i + j*Qm] = e[i*(E/Qm) + j]  =>  e-index for f-pos
+        f_pos = np.arange(E)
+        e_idx = (f_pos % qm) * (E // qm) + (f_pos // qm)
+        idx[off: off + E] = j * N + sel[e_idx]
+        off += E
+    return idx
+
+
+def fused_rate_match_rx(graph, llr_cw, rv: int, es: tuple, qm: int, F: int,
+                        harq_buffer=None, filler_llr: float = 1e4):
+    """(B, G) codeword LLRs -> (B, C, cols*Z) mother-code LLRs in ONE scatter.
+
+    harq_buffer: optional (B, C, cols*Z) previous-round buffer to combine.
+    """
+    g = graph
+    B = llr_cw.shape[0]
+    C = len(es)
+    N = g.N
+    idx = jnp.asarray(fused_rx_indices(g.bg, g.Z, g.kc, rv, tuple(es), qm, F))
+    d = jnp.zeros((B, C * N), llr_cw.dtype).at[:, idx].add(llr_cw)
+    d = d.reshape(B, C, N)
+    if F:
+        K = g.K
+        filler = jnp.zeros((N,), llr_cw.dtype).at[K - 2 * g.Z - F: K - 2 * g.Z].set(filler_llr)
+        d = d + filler[None, None]
+    full = jnp.concatenate([jnp.zeros((B, C, 2 * g.Z), llr_cw.dtype), d], axis=-1)
+    if harq_buffer is not None:
+        full = full + harq_buffer
+    return full

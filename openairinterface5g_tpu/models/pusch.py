@@ -289,20 +289,15 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
     if cfg.llr_quant_bits:
         llr_cw = llr_mod.quantize(llr_cw, bits=cfg.llr_quant_bits)
 
-    # --- split per CB, deinterleave, rate recover, then ONE batched decode
-    # over the (B*C) dim (the reference's per-CB thread jobs, C2 mapping;
-    # a single decoder instance also keeps compile time flat in C)
+    # --- fused deinterleave + rate recovery (ONE scatter over the whole
+    # TB) then ONE batched decode over the (B*C) dim — the reference's
+    # per-CB thread jobs (C2) collapse into tensor dims, and compile time
+    # stays flat in C
     g = ldpc.build_graph(p.bg, p.Z)
     es = cfg.cb_e_sizes()
-    offs = np.concatenate([[0], np.cumsum(es)])
-    full_llrs = []
-    for j, E in enumerate(es):
-        f = llr_cw[:, int(offs[j]): int(offs[j + 1])]
-        e = rate_matching.deinterleave_rx(f, qm)
-        buf = None if harq_buffers is None else harq_buffers[j]
-        full_llrs.append(rate_matching.rate_match_rx(g, e, rv, p.F, harq_buffer=buf))
-    new_harq = full_llrs
-    stacked = jnp.stack(full_llrs, axis=1)              # (B, C, N)
+    stacked = rate_matching.fused_rate_match_rx(
+        g, llr_cw, rv, tuple(es), qm, p.F, harq_buffer=harq_buffers)
+    new_harq = stacked                                  # (B, C, cols*Z)
     from ..coding.backend import decoder as ldpc_decoder
     bits_all, ok_all = ldpc_decoder(cfg.decoder_backend)(
         g, stacked.reshape(B * p.C, -1), n_iters=n_iters)
