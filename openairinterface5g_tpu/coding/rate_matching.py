@@ -46,11 +46,15 @@ def selection_indices(bg: int, Z: int, kc: int, rv: int, E: int, F: int, Ncb: in
     return sel.astype(np.int32)
 
 
-def rate_match_tx(graph: LDPCGraph, codeword: jnp.ndarray, rv: int, E: int, F: int) -> jnp.ndarray:
-    """(batch, cols*Z) mother codeword -> (batch, E) transmitted bits."""
+def rate_match_tx(graph: LDPCGraph, codeword: jnp.ndarray, rv: int, E: int,
+                  F: int, ncb: int | None = None) -> jnp.ndarray:
+    """(batch, cols*Z) mother codeword -> (batch, E) transmitted bits.
+
+    ncb: optional limited circular-buffer size (LBRM, TS 38.212 5.4.2.1).
+    """
     g = graph
     d = codeword[..., 2 * g.Z:]  # drop punctured systematic head
-    sel = jnp.asarray(selection_indices(g.bg, g.Z, g.kc, rv, E, F))
+    sel = jnp.asarray(selection_indices(g.bg, g.Z, g.kc, rv, E, F, ncb))
     return jnp.take(d, sel, axis=-1)
 
 
@@ -99,7 +103,8 @@ def deinterleave_rx(llr_f: jnp.ndarray, Qm: int) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def fused_rx_indices(bg: int, Z: int, kc: int, rv: int, es: tuple, qm: int, F: int):
+def fused_rx_indices(bg: int, Z: int, kc: int, rv: int, es: tuple, qm: int,
+                     F: int, ncb: int | None = None):
     """One global (G,) permutation fusing per-CB deinterleave + rate-match
     scatter: codeword-position g -> flat index into the (C*N,) LLR buffer.
 
@@ -111,7 +116,7 @@ def fused_rx_indices(bg: int, Z: int, kc: int, rv: int, es: tuple, qm: int, F: i
     idx = np.empty(sum(es), dtype=np.int32)
     off = 0
     for j, E in enumerate(es):
-        sel = selection_indices(bg, Z, kc, rv, E, F)          # (E,) into N
+        sel = selection_indices(bg, Z, kc, rv, E, F, ncb)     # (E,) into N
         # deinterleave: f[i + j*Qm] = e[i*(E/Qm) + j]  =>  e-index for f-pos
         f_pos = np.arange(E)
         e_idx = (f_pos % qm) * (E // qm) + (f_pos // qm)
@@ -121,7 +126,8 @@ def fused_rx_indices(bg: int, Z: int, kc: int, rv: int, es: tuple, qm: int, F: i
 
 
 def fused_rate_match_rx(graph, llr_cw, rv: int, es: tuple, qm: int, F: int,
-                        harq_buffer=None, filler_llr: float = 1e4):
+                        harq_buffer=None, filler_llr: float = 1e4,
+                        ncb: int | None = None):
     """(B, G) codeword LLRs -> (B, C, cols*Z) mother-code LLRs in ONE scatter.
 
     harq_buffer: optional (B, C, cols*Z) previous-round buffer to combine.
@@ -130,7 +136,7 @@ def fused_rate_match_rx(graph, llr_cw, rv: int, es: tuple, qm: int, F: int,
     B = llr_cw.shape[0]
     C = len(es)
     N = g.N
-    idx = jnp.asarray(fused_rx_indices(g.bg, g.Z, g.kc, rv, tuple(es), qm, F))
+    idx = jnp.asarray(fused_rx_indices(g.bg, g.Z, g.kc, rv, tuple(es), qm, F, ncb))
     d = jnp.zeros((B, C * N), llr_cw.dtype).at[:, idx].add(llr_cw)
     d = d.reshape(B, C, N)
     if F:

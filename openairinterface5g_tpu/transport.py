@@ -65,3 +65,27 @@ def compute_tbs(qm: int, r1024: float, n_prb: int, n_symb: int,
         c = math.ceil((npinfo + 24) / 8424)
         return 8 * c * math.ceil((npinfo + 24) / (8 * c)) - 24
     return 8 * math.ceil((npinfo + 24) / 8) - 24
+
+
+# TS 38.212 §5.4.2.1 LBRM: reference PRB counts for TBS_LBRM derivation
+_NPRB_LBRM = (32, 66, 107, 135, 162, 217, 273)
+
+
+def nprb_lbrm(n_prb: int) -> int:
+    for v in _NPRB_LBRM:
+        if n_prb <= v:
+            return v
+    return _NPRB_LBRM[-1]
+
+
+def compute_tbs_lbrm(n_prb: int, n_layers: int = 1, table: int = 1) -> int:
+    """TBS_LBRM per TS 38.212 5.4.2.1 (nr_compute_tbslbrm analog)."""
+    qm = 8 if table == 2 else 6
+    return compute_tbs(qm, 948, nprb_lbrm(n_prb), 14, 0, 0, min(n_layers, 4))
+
+
+def ncb_lbrm(N: int, C: int, n_prb: int, n_layers: int = 1, table: int = 1) -> int:
+    """Limited circular buffer size Ncb = min(N, floor(TBS_LBRM/(C*2/3)))."""
+    import math
+    nref = int(math.floor(compute_tbs_lbrm(n_prb, n_layers, table) / (C * (2 / 3))))
+    return min(N, nref)

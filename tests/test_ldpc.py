@@ -100,3 +100,24 @@ def test_harq_combining_improves():
     bits, ok, _ = decode(g, buf, n_iters=25)
     assert bool(ok.all())
     np.testing.assert_array_equal(np.asarray(bits), info)
+
+
+def test_lbrm_limited_buffer_roundtrip():
+    """LBRM (TS 38.212 5.4.2.1): Ncb-limited circular buffer at rv 2/3."""
+    from openairinterface5g_tpu.transport import ncb_lbrm
+    g = build_graph(1, 384)
+    rng = np.random.default_rng(77)
+    info = rng.integers(0, 2, (2, g.K)).astype(np.int8)
+    cw = encode(g, jnp.asarray(info))
+    ncb = ncb_lbrm(g.N, 10, 106)
+    assert ncb < g.N
+    for rv, E in ((0, 2 * g.K), (2, 2 * g.K), (3, ncb)):
+        e = rate_match_tx(g, cw, rv, E, 0, ncb=ncb)
+        from openairinterface5g_tpu.coding.rate_matching import (
+            fused_rate_match_rx, interleave_tx,
+        )
+        f = interleave_tx(e, 2)
+        llr = (1.0 - 2.0 * np.asarray(f).astype(np.float32)) * 6
+        full = fused_rate_match_rx(g, jnp.asarray(llr), rv, (E,), 2, 0, ncb=ncb)
+        bits, ok, _ = decode(g, full.reshape(2, -1), n_iters=20)
+        assert bool(ok.all()) and np.array_equal(np.asarray(bits), info), rv

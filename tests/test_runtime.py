@@ -43,3 +43,21 @@ def test_meas_group_report():
             time.sleep(0.001)
     rep = mg.report()
     assert "stage_a" in rep and mg["stage_a"].count == 3
+
+
+def test_csirs_measurement_cqi():
+    from openairinterface5g_tpu.models.csirs import CsirsConfig, csi_measure, csirs_tx_grid
+    cfg = CsirsConfig(n_prb=48)
+    rng = np.random.default_rng(0)
+    B = 4
+    tx = csirs_tx_grid(cfg, B, 12 * 48)
+    h_true = 1.5 * np.exp(1j * 0.3)
+    for snr_set in (5.0, 20.0):
+        sigma = abs(h_true) * 10 ** (-snr_set / 20)
+        noise = sigma * (rng.standard_normal((B, 2, 576)) + 1j * rng.standard_normal((B, 2, 576))) / np.sqrt(2)
+        rx = (h_true * np.asarray(tx))[:, None] + noise.astype(np.complex64)
+        m = csi_measure(cfg, jnp.asarray(rx))
+        est = float(np.asarray(m["snr_db"]).mean())
+        assert abs(est - snr_set) < 3.0, (snr_set, est)
+    cqi_hi = int(np.asarray(m["cqi"])[0])
+    assert cqi_hi >= 12  # 20 dB should map to a high CQI
