@@ -271,3 +271,28 @@ def pucch1_rx(cfg: Pucch1Config, rx: jnp.ndarray):
         b1 = (corr.imag < 0).astype(jnp.int32)
         uci = 2 * b0 + b1
     return uci, jnp.abs(corr)
+
+
+def hopped_group(hopping_id: int, slot: int, n_symbols_half: int = 2,
+                 enabled: bool = True) -> int:
+    """Group hopping (TS 38.211 §6.3.2.2.1): u = (f_gh + f_ss) mod 30.
+
+    f_gh from the Gold sequence seeded floor(n_id/30), 8 bits per hop index
+    (host-side; the hop index here is the slot number — intra-slot hopping
+    off).  Returns the sequence group u for the slot.
+    """
+    f_ss = hopping_id % 30
+    if not enabled:
+        return f_ss
+    # host-side gold bits (numpy path of the same generator)
+    from ..phy.scrambling import _gold_tables
+    import numpy as _np
+    cinit = hopping_id // 30
+    length = 8 * (2 * slot + 2)
+    x1, apow = _gold_tables(length)
+    s0 = _np.uint32(cinit)
+    bits = ((_np.bitwise_count(apow & s0) & 1).astype(_np.int8)).reshape(-1)[:length]
+    c = (x1[:length] ^ bits)
+    seg = c[8 * 2 * slot: 8 * 2 * slot + 8]
+    f_gh = int((seg * (1 << _np.arange(8))).sum() % 30)
+    return (f_gh + f_ss) % 30
