@@ -5,10 +5,10 @@ build-time codegen of per-(BG, Z, rate) AVX2 kernels
 (nrLDPC_decoder/nrLDPC_tools/generator_cnProc/...); here the static
 lifted graph is unrolled at *trace* time into one Pallas program:
 
-* grid = (batch/8,); each program decodes 8 code blocks with the CB dim
-  on the 8 sublanes and the lifting dim Z on the lanes, so every edge
-  message is one (8, Z) vector register tile.
-* all messages live in VMEM for the whole decode: c2v (E, 8, Z) f32 plus
+* grid = (batch/sb,); each program decodes `sb` (default 16) code blocks
+  with the CB dim on the sublanes and the lifting dim Z on the lanes, so
+  every edge message is one (sb, Z) vector register tile.
+* all messages live in VMEM for the whole decode: c2v (E, sb, Z) plus
   column totals — zero HBM traffic between iterations (the reference
   streams cnProcBuf/bnProcBuf through L1/L2 per iteration).
 * cyclic shifts are static-jnp.roll on the lane axis (the graph is
@@ -231,15 +231,15 @@ def decode_pallas(
 
 
 def _parity_ok(graph: LDPCGraph, bits: jnp.ndarray) -> jnp.ndarray:
-    """Syndrome check on hard bits (XLA, not in-kernel)."""
+    """Syndrome check on hard bits: one gather + XOR-reduce (no rolls)."""
+    from ..coding.ldpc import _decode_indices
+
+    g, col_ids_np, idx_cn_np, _, valid_np = _decode_indices(graph.bg, graph.Z)
     B = bits.shape[0]
-    b = bits.reshape(B, graph.cols, graph.Z)
-    ok = jnp.ones((B,), bool)
-    syn_any = jnp.zeros((B,), jnp.int32)
-    for r in range(graph.rows):
-        syn = jnp.zeros((B, graph.Z), jnp.int32)
-        for c in np.nonzero(graph.tab[r] >= 0)[0]:
-            s = int(graph.tab[r, c])
-            syn = syn ^ jnp.roll(b[:, c].astype(jnp.int32), -s, axis=-1)
-        syn_any = syn_any | jnp.max(syn, axis=-1)
-    return syn_any == 0
+    b = jnp.concatenate(
+        [bits.reshape(B, g.cols, g.Z), jnp.zeros((B, 1, g.Z), bits.dtype)], axis=1)
+    vals = b[:, jnp.asarray(col_ids_np)].astype(jnp.int32)       # (B, RE, Z)
+    vals = jnp.take_along_axis(
+        vals, jnp.broadcast_to(jnp.asarray(idx_cn_np)[None], vals.shape), axis=-1)
+    syn = jnp.sum(vals.reshape(B, g.rows, g.max_deg, g.Z), axis=2) & 1
+    return jnp.all(syn == 0, axis=(1, 2))
