@@ -61,3 +61,25 @@ def test_csirs_measurement_cqi():
         assert abs(est - snr_set) < 3.0, (snr_set, est)
     cqi_hi = int(np.asarray(m["cqi"])[0])
     assert cqi_hi >= 12  # 20 dB should map to a high CQI
+
+
+def test_softmodem_loop_smoke():
+    """Multi-slot scheduler loop end-to-end (tiny config)."""
+    import contextlib, io
+    from openairinterface5g_tpu.runtime import softmodem
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = softmodem.main(["-n", "4", "-u", "1", "-P", "6", "-m", "4",
+                             "-s", "16", "-I", "6"])
+    out = buf.getvalue()
+    assert rc == 0 and "softmodem loop OK" in out, out
+
+
+def test_autotest_single_case():
+    """Autotest runner machinery on the fastest case."""
+    import contextlib, io
+    from openairinterface5g_tpu.sim import autotest
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = autotest.main(["--filter", "pucchsim-f0-1bit"])
+    assert rc == 0 and "1/1 autotests passed" in buf.getvalue()
