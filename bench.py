@@ -47,7 +47,7 @@ def main():
 
     # STRICT methodology: the tunnel elides repeated identical executions,
     # so every timed repetition gets a distinct input; block on all results.
-    n_rep = 10
+    n_rep = 24
     rxs = [jax.block_until_ready(make_rx(tb, jax.random.PRNGKey(i)))
            for i in range(n_rep)]
 
