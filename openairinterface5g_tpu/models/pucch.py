@@ -1,13 +1,19 @@
-"""PUCCH formats 0 and 2 (P26 analog): UCI TX + gNB RX.
+"""PUCCH formats 0-4 (P26 analog): UCI TX + gNB RX.
 
 Reference anchors: nr_decode_pucch0 (openair1/PHY/NR_TRANSPORT/
-pucch_rx.c:150), nr_decode_pucch2 (:1014), UE TX pucch_nr.c:54-834.
+pucch_rx.c:150), nr_decode_pucch2 (:1014), UE TX pucch_nr.c:54-834
+(nr_generate_pucch3_4 at pucch_nr.c:1319).
 
 Format 0: sequence selection — a length-12 low-PAPR sequence cyclically
 shifted by the UCI value; detection is one correlation matmul against
 all candidate shifts (batched over trials/occasions).
+Format 1: sequence-modulated BPSK/QPSK with time-domain OCC.
 Format 2: UCI bits -> small block (<=11 bits) or polar (>=12) -> QPSK
 over N PRBs with comb DMRS; RX = LS estimate + MRC + LLR + decode.
+Formats 3/4: DFT-s-OFDM — coded UCI scrambled, QPSK (or pi/2-BPSK),
+format 4 adds pre-DFT block-wise OCC (SF 2/4), DFT spread over
+Msc = 12*n_prb, low-PAPR DMRS symbols; RX inverts with the shared
+transform-precoding despreader.
 """
 from __future__ import annotations
 
@@ -123,18 +129,40 @@ def _pucch2_positions(cfg: Pucch2Config):
     return data.astype(np.int32), dmrs.astype(np.int32)
 
 
+def uci_encode(n_bits: int, E: int, uci: jnp.ndarray) -> jnp.ndarray:
+    """(B, n_bits) -> (B, E) coded UCI bits (TS 38.212 §6.3.1.3).
+
+    <=11 bits: small block (RM 32,K) circularly repeated to E;
+    >=12: CRC6/11 + polar with i_bil interleaving.
+    """
+    if n_bits <= 11:
+        cw = small_block.encode(uci)
+        reps = -(-E // 32)
+        return jnp.tile(cw, (1, reps))[:, :E]
+    crc_name = "11" if n_bits >= 20 else "6"
+    n_pc = 0 if n_bits >= 20 else 3
+    K = n_bits + CRC_POLYS[crc_name][0]
+    p = polar.polar_params(K=K, E=E, n_max=10, i_il=False, n_pc=n_pc, i_bil=True)
+    return polar.encode(p, crc_attach(uci, crc_name))
+
+
+def uci_decode(n_bits: int, E: int, llr: jnp.ndarray, list_size: int = 8):
+    """(B, E) LLRs -> (uci (B, n_bits), ok (B,)); inverse of uci_encode."""
+    if n_bits <= 11:
+        folded = jnp.zeros((llr.shape[0], 32), llr.dtype)
+        folded = folded.at[:, jnp.asarray(np.arange(E) % 32)].add(llr)
+        uci = small_block.decode(folded, n_bits)
+        return uci, jnp.ones(uci.shape[0], bool)
+    crc_name = "11" if n_bits >= 20 else "6"
+    n_pc = 0 if n_bits >= 20 else 3
+    K = n_bits + CRC_POLYS[crc_name][0]
+    p = polar.polar_params(K=K, E=E, n_max=10, i_il=False, n_pc=n_pc, i_bil=True)
+    return polar.decode_with_crc(p, llr, crc_name, list_size=list_size)
+
+
 def pucch2_encode(cfg: Pucch2Config, uci: jnp.ndarray) -> jnp.ndarray:
     """(B, n_bits) -> (B, E) coded bits (small block or polar+CRC)."""
-    if cfg.n_bits <= 11:
-        cw = small_block.encode(uci)
-        # rate match by circular repetition to E
-        reps = -(-cfg.E // 32)
-        return jnp.tile(cw, (1, reps))[:, :cfg.E]
-    crc_name = "11" if cfg.n_bits >= 20 else "6"
-    n_pc = 0 if cfg.n_bits >= 20 else 3
-    K = cfg.n_bits + CRC_POLYS[crc_name][0]
-    p = polar.polar_params(K=K, E=cfg.E, n_max=10, i_il=False, n_pc=n_pc, i_bil=True)
-    return polar.encode(p, crc_attach(uci, crc_name))
+    return uci_encode(cfg.n_bits, cfg.E, uci)
 
 
 def pucch2_tx(cfg: Pucch2Config, uci: jnp.ndarray) -> jnp.ndarray:
@@ -177,16 +205,7 @@ def pucch2_rx(cfg: Pucch2Config, rx: jnp.ndarray, list_size: int = 8):
     llr = llr_compute(x.reshape(x.shape[0], -1), mag.reshape(x.shape[0], -1), 2)
     cinit = (cfg.rnti << 15) + cfg.n_id
     llr = scramble_llrs(llr, jnp.uint32(cinit))
-    if cfg.n_bits <= 11:
-        folded = jnp.zeros((llr.shape[0], 32), llr.dtype)
-        folded = folded.at[:, jnp.asarray(np.arange(cfg.E) % 32)].add(llr)
-        uci = small_block.decode(folded, cfg.n_bits)
-        return uci, jnp.ones(uci.shape[0], bool)
-    crc_name = "11" if cfg.n_bits >= 20 else "6"
-    n_pc = 0 if cfg.n_bits >= 20 else 3
-    K = cfg.n_bits + CRC_POLYS[crc_name][0]
-    p = polar.polar_params(K=K, E=cfg.E, n_max=10, i_il=False, n_pc=n_pc, i_bil=True)
-    return polar.decode_with_crc(p, llr, crc_name, list_size=list_size)
+    return uci_decode(cfg.n_bits, cfg.E, llr, list_size=list_size)
 
 
 # --------------------------------------------------------------------------
@@ -296,3 +315,178 @@ def hopped_group(hopping_id: int, slot: int, n_symbols_half: int = 2,
     seg = c[8 * 2 * slot: 8 * 2 * slot + 8]
     f_gh = int((seg * (1 << _np.arange(8))).sum() % 30)
     return (f_gh + f_ss) % 30
+
+
+# --------------------------------------------------------------------------
+# Formats 3 / 4 (TS 38.211 §6.3.2.6): DFT-s-OFDM UCI
+# --------------------------------------------------------------------------
+
+# DMRS symbol positions, TS 38.211 Table 6.4.1.3.3.2-1 (no intra-slot
+# frequency hopping).  additional_dmrs applies for lengths >= 10.
+_F34_DMRS = {
+    4: [1], 5: [0, 3], 6: [1, 4], 7: [1, 4], 8: [1, 5], 9: [1, 6],
+    10: [2, 7], 11: [2, 7], 12: [2, 8], 13: [2, 9], 14: [3, 10],
+}
+_F34_DMRS_ADD = {
+    10: [1, 3, 6, 8], 11: [1, 3, 6, 9], 12: [1, 4, 7, 10],
+    13: [1, 4, 7, 11], 14: [1, 5, 8, 12],
+}
+
+# Format 4 pre-DFT block-wise OCC, TS 38.211 Table 6.3.2.6.3-1/-2
+# (phase pattern over the 12 subcarriers, blocks of Msc/SF)
+def _f4_occ(sf: int, n: int) -> np.ndarray:
+    k = np.arange(12)
+    block = k // (12 // sf)
+    return np.exp(2j * np.pi * n * block / sf).astype(np.complex64)
+
+# Format 4 DMRS initial cyclic shift per OCC index
+# (TS 38.211 Table 6.4.1.3.3.1-1)
+_F4_DMRS_CS = {2: (0, 6), 4: (0, 6, 3, 9)}
+
+
+@dataclasses.dataclass(frozen=True)
+class Pucch34Config:
+    fmt: int = 3                 # 3 or 4
+    n_bits: int = 16
+    n_prb: int = 1               # format 3: 1..16 (2^a 3^b 5^c); format 4: 1
+    n_symbols: int = 14          # 4..14
+    start_symbol: int = 0
+    rnti: int = 0x1234
+    n_id: int = 0
+    hopping_id: int = 0
+    pi2_bpsk: bool = False
+    additional_dmrs: bool = False
+    occ_len: int = 2             # format 4 only: 2 or 4
+    occ_index: int = 0
+
+    def __post_init__(self):
+        if self.fmt == 4:
+            assert self.n_prb == 1 and self.occ_len in (2, 4)
+
+    @property
+    def msc(self) -> int:
+        return 12 * self.n_prb
+
+    @property
+    def dmrs_symbols(self) -> tuple:
+        tab = _F34_DMRS_ADD if (self.additional_dmrs and self.n_symbols >= 10) \
+            else _F34_DMRS
+        return tuple(tab[self.n_symbols])
+
+    @property
+    def data_symbols(self) -> tuple:
+        d = set(self.dmrs_symbols)
+        return tuple(s for s in range(self.n_symbols) if s not in d)
+
+    @property
+    def qm(self) -> int:
+        return 1 if self.pi2_bpsk else 2
+
+    @property
+    def E(self) -> int:
+        sf = self.occ_len if self.fmt == 4 else 1
+        return len(self.data_symbols) * (self.msc // sf) * self.qm
+
+
+def _modulate_f34(cfg: Pucch34Config, bits: jnp.ndarray) -> jnp.ndarray:
+    """QPSK or pi/2-BPSK (TS 38.211 §5.1.1) mapping of (B, E) bits."""
+    if not cfg.pi2_bpsk:
+        return modulate(bits, 2)
+    B, E = bits.shape
+    i = np.arange(E)
+    rot = jnp.asarray(np.exp(1j * np.pi / 2 * (i % 2)).astype(np.complex64)
+                      * np.complex64((1 + 1j) / 2 ** 0.5))
+    return (1.0 - 2.0 * bits.astype(jnp.float32)) * rot[None, :]
+
+
+def _f34_dmrs_seq(cfg: Pucch34Config) -> np.ndarray:
+    """Low-PAPR DMRS base sequence for one symbol (group from hopping_id)."""
+    u = cfg.hopping_id % 30
+    if cfg.msc <= 24:
+        base = cyclic_shifted(u, 0, cfg.msc)
+    else:
+        base = refsig.low_papr_sequence(u, 0, cfg.msc)
+    if cfg.fmt == 4:
+        m0 = _F4_DMRS_CS[cfg.occ_len][cfg.occ_index]
+        n = np.arange(cfg.msc)
+        base = base * np.exp(2j * np.pi * m0 * n / 12)
+    return base.astype(np.complex64)
+
+
+def pucch34_tx(cfg: Pucch34Config, uci: jnp.ndarray) -> jnp.ndarray:
+    """(B, n_bits) UCI -> (B, n_symbols, msc) freq-domain REs.
+
+    Reference: nr_generate_pucch3_4 (pucch_nr.c:1319) — encode, scramble,
+    modulate, (F4) block-OCC spread, DFT, plus low-PAPR DMRS symbols.
+    """
+    from ..phy.transform_precoding import dft_spread
+
+    B = uci.shape[0]
+    bits = uci_encode(cfg.n_bits, cfg.E, uci)
+    cinit = (cfg.rnti << 15) + cfg.n_id
+    c = gold_sequence(jnp.uint32(cinit), cfg.E)
+    d = _modulate_f34(cfg, bits ^ c)                     # (B, n_data*msc/sf)
+    n_data = len(cfg.data_symbols)
+    if cfg.fmt == 4:
+        sf = cfg.occ_len
+        w = jnp.asarray(_f4_occ(sf, cfg.occ_index))
+        d = d.reshape(B, n_data, cfg.msc // sf)
+        d = jnp.tile(d, (1, 1, sf)) * w[None, None, :]   # block-wise spread
+        d = d.reshape(B, n_data * cfg.msc)
+    y = dft_spread(d, cfg.msc).reshape(B, n_data, cfg.msc)
+    pil = jnp.asarray(_f34_dmrs_seq(cfg))
+    grid = jnp.zeros((B, cfg.n_symbols, cfg.msc), jnp.complex64)
+    grid = grid.at[:, jnp.asarray(np.array(cfg.data_symbols))].set(y)
+    grid = grid.at[:, jnp.asarray(np.array(cfg.dmrs_symbols))].set(pil[None, None, :])
+    return grid
+
+
+def pucch34_rx(cfg: Pucch34Config, rx: jnp.ndarray, list_size: int = 8):
+    """(B, n_rx, n_symbols, msc) -> (uci (B, n_bits), ok (B,)).
+
+    LS channel estimate averaged over DMRS symbols, MRC matched filter,
+    shared IDFT despreader (per-RE ZF + harmonic-mean gain), (F4) OCC
+    despread/fold, max-log LLRs, descramble, small-block/polar decode.
+    """
+    from ..phy.transform_precoding import idft_despread
+
+    B = rx.shape[0]
+    pil = jnp.asarray(_f34_dmrs_seq(cfg))
+    yp = rx[:, :, jnp.asarray(np.array(cfg.dmrs_symbols))]     # (B,R,Nd,msc)
+    h = jnp.mean(yp * jnp.conj(pil)[None, None, None, :], axis=2)  # (B,R,msc)
+    if cfg.fmt == 4:
+        # users multiplexed on the PRB sit at distinct DMRS cyclic shifts =
+        # distinct delay taps; window the delay-domain estimate around this
+        # user's own tap (the cyclic-shift separation receiver of
+        # nr_decode_pucch... delay filtering, cf. pucch_rx.c channel est)
+        sep = 12 // len(_F4_DMRS_CS[cfg.occ_len])
+        half = (sep - 1) // 2
+        d = np.arange(12)
+        mask = (np.minimum(d, 12 - d) <= half).astype(np.float32)
+        taps = jnp.fft.ifft(h, axis=-1) * jnp.asarray(mask)[None, None, :]
+        h = jnp.fft.fft(taps, axis=-1).astype(jnp.complex64)
+    yd = rx[:, :, jnp.asarray(np.array(cfg.data_symbols))]     # (B,R,S,msc)
+    x = jnp.sum(jnp.conj(h)[:, :, None, :] * yd, axis=1)       # (B,S,msc)
+    mag = jnp.broadcast_to(
+        jnp.sum(jnp.abs(h) ** 2, axis=1)[:, None, :], x.shape)
+    n_data = len(cfg.data_symbols)
+    d, mag_eff = idft_despread(
+        x.reshape(B, -1), mag.reshape(B, -1), cfg.msc)
+    if cfg.fmt == 4:
+        sf = cfg.occ_len
+        w = jnp.asarray(_f4_occ(sf, cfg.occ_index))
+        d = (d.reshape(B, n_data, sf, cfg.msc // sf)
+             * jnp.conj(w).reshape(1, 1, sf, cfg.msc // sf))
+        d = jnp.sum(d, axis=2).reshape(B, -1)
+        mag_eff = jnp.sum(
+            mag_eff.reshape(B, n_data, sf, cfg.msc // sf), axis=2).reshape(B, -1)
+    if cfg.pi2_bpsk:
+        i = np.arange(d.shape[-1])
+        derot = jnp.asarray(np.exp(-1j * np.pi / 2 * (i % 2)).astype(np.complex64)
+                            * np.complex64((1 - 1j) / 2 ** 0.5))
+        llr = (d * derot[None, :]).real.astype(jnp.float32)
+    else:
+        llr = llr_compute(d, mag_eff, 2)
+    cinit = (cfg.rnti << 15) + cfg.n_id
+    llr = scramble_llrs(llr.reshape(B, -1), jnp.uint32(cinit))
+    return uci_decode(cfg.n_bits, cfg.E, llr, list_size=list_size)

@@ -14,11 +14,24 @@ lifted graph is unrolled at *trace* time into one Pallas program:
 * cyclic shifts are static-jnp.roll on the lane axis (the graph is
   static), replacing the reference's LUT-driven shuffles.
 
-Messages are stored in VN (unrotated) orientation so variable-node
-accumulation is pure adds; rotations happen only inside the check-node
-pass (rotate v2c by -shift, rotate the min-sum result back by +shift).
-Each edge belongs to exactly one check row, so updating c2v in the row
-loop while totals stay fixed preserves the flooding schedule.
+Flooding schedule: messages stored in VN (unrotated) orientation so
+variable-node accumulation is pure adds; rotations happen only inside
+the check-node pass (rotate v2c by -shift, rotate the min-sum result
+back by +shift).  Each edge belongs to exactly one check row, so
+updating c2v in the row loop while totals stay fixed preserves the
+flooding schedule.
+
+Layered schedule (the fast path): **rotation composition** halves the
+lane-roll count per iteration, the dominant cost on the VPU.  c2v
+messages are stored already rotated into their check row's orientation
+(so the min-sum result needs no roll-back), and each column's APP total
+is kept in the orientation of the row that last consumed it; moving to
+the next row costs a single composed roll by (prev_shift - shift).
+Because the row schedule is static and cyclic, the orientation at the
+iteration boundary is a fixed per-column `entry_shift`, applied once to
+the input LLRs and undone once on the output hard bits.  This replaces
+the reference's LUT-driven cnProcBuf/bnProcBuf shuffles
+(nrLDPC_decoder.c:206-881) with ~E rolls/iter instead of 2E.
 """
 from __future__ import annotations
 
@@ -61,6 +74,13 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
     E = sum(len(es) for _, es in rows_edges)
     # flat edge index per (row-local order)
     edge_base = np.cumsum([0] + [len(es) for _, es in rows_edges])
+    # layered-schedule iteration-boundary orientation per column: the shift
+    # of the last row (in schedule order) that touches it; 0 under flooding
+    entry_shift = np.zeros(C, dtype=np.int64)
+    if schedule == "layered":
+        for _, es in rows_edges:
+            for c, s in es:
+                entry_shift[c] = s % Z
 
     int_path = msg_dtype == jnp.int8
     # int8 message storage with int32 compute: this Mosaic version exposes
@@ -101,7 +121,13 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
         # fori iterations become no-ops (the decode_abort_t / CRC-early-stop
         # analog of nrLDPC_decoder.c:554).
         c2v[...] = jnp.zeros((E, sb, Z), msg_dtype)
-        totals[...] = llr_ref[...]
+        if schedule == "layered":
+            # pre-rotate each column into its iteration-boundary orientation
+            for c in range(C):
+                e = int(entry_shift[c])
+                totals[c] = jnp.roll(llr_ref[c], -e, axis=-1) if e else llr_ref[c]
+        else:
+            totals[...] = llr_ref[...]
         done[0] = 0
 
         def _syndrome_ok():
@@ -111,7 +137,8 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                 syn = jnp.zeros((sb, Z), jnp.int32)
                 for d, (c, s) in enumerate(es):
                     b = (totals[c] < 0).astype(jnp.int32)
-                    syn = syn ^ (jnp.roll(b, -s, axis=-1) if s % Z else b)
+                    off = (int(entry_shift[c]) - s) % Z
+                    syn = syn ^ (jnp.roll(b, off, axis=-1) if off else b)
                 bad = bad | syn
             return (jnp.sum(bad) == 0).astype(jnp.int32)
 
@@ -139,24 +166,32 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
             return carry
 
         def layered_iter(_, carry):
-            # row-layered schedule: totals updated in place per row —
-            # no separate VN pass, ~2x faster convergence than flooding
+            # row-layered schedule with rotation composition: totals live in
+            # the last-visited row's orientation, c2v in check orientation —
+            # one composed roll per edge instead of a roll in + roll back
+            cur = {c: int(entry_shift[c]) for c in range(C)}
             for ri, (r, es) in enumerate(rows_edges):
                 base = int(edge_base[ri])
                 rot = []
                 for d, (c, s) in enumerate(es):
-                    v2c = totals[c] - c2v[base + d].astype(acc_dtype)
-                    rot.append(jnp.roll(v2c, -s, axis=-1) if s % Z else v2c)
+                    # stored = roll(nat, -cur); row view = roll(nat, -s)
+                    #        = roll(stored, cur - s)
+                    delta = (cur[c] - s) % Z
+                    if delta:
+                        totals[c] = jnp.roll(totals[c], delta, axis=-1)
+                    cur[c] = s % Z
+                    rot.append(totals[c] - c2v[base + d].astype(acc_dtype))
                 m1, m2, sgn, mags = _cn_minsum(rot)
                 for d, (c, s) in enumerate(es):
                     mag = _scale(jnp.where(mags[d] == m1, m2, m1))
                     neg = sgn ^ (rot[d] < 0).astype(jnp.int32)
-                    val = jnp.where(neg == 1, -mag, mag)
-                    new_c2v = _sat(jnp.roll(val, s, axis=-1) if s % Z else val)
+                    new_c2v = _sat(jnp.where(neg == 1, -mag, mag))
                     # totals[c] = llr-part + sum c2v: replace old with new
                     totals[c] = totals[c] + (new_c2v.astype(acc_dtype)
                                              - c2v[base + d].astype(acc_dtype))
                     c2v[base + d] = new_c2v
+            # schedule is cyclic: cur == entry_shift again at the boundary
+            assert all(cur[c] == int(entry_shift[c]) for c in range(C))
             return carry
 
         inner = layered_iter if schedule == "layered" else flooding_iter
@@ -172,7 +207,14 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
         else:
             body = inner
         jax.lax.fori_loop(0, n_iters, body, 0)
-        bits_ref[...] = (totals[...] < 0).astype(jnp.int8)
+        if schedule == "layered":
+            # undo the per-column iteration-boundary rotation
+            for c in range(C):
+                e = int(entry_shift[c])
+                b = (totals[c] < 0).astype(jnp.int8)
+                bits_ref[c] = jnp.roll(b, e, axis=-1) if e else b
+        else:
+            bits_ref[...] = (totals[...] < 0).astype(jnp.int8)
 
     def run(llr8):
         """llr8: (C, n_groups*sb, Z) acc_dtype -> bits same-shape int8."""

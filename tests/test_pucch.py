@@ -65,3 +65,45 @@ def test_pucch1_roundtrip(n_bits):
     rx = tx[:, None] * np.exp(1j * 0.9) + sigma * noise.astype(np.complex64)
     got, _ = pucch1_rx(cfg, jnp.asarray(rx))
     np.testing.assert_array_equal(np.asarray(got), uci)
+
+
+@pytest.mark.parametrize("fmt,n_bits,n_prb,occ_len,pi2", [
+    (3, 16, 2, 1, False),
+    (3, 8, 1, 1, False),
+    (3, 22, 4, 1, True),
+    (4, 10, 1, 2, False),
+    (4, 14, 1, 4, False),
+])
+def test_pucch34_loopback(fmt, n_bits, n_prb, occ_len, pi2):
+    from openairinterface5g_tpu.models.pucch import Pucch34Config, pucch34_tx, pucch34_rx
+    cfg = Pucch34Config(fmt=fmt, n_bits=n_bits, n_prb=n_prb,
+                        occ_len=occ_len, pi2_bpsk=pi2, n_symbols=14)
+    rng = np.random.default_rng(fmt * 100 + n_bits)
+    B = 4
+    uci = jnp.asarray(rng.integers(0, 2, (B, n_bits)).astype(np.int8))
+    tx = pucch34_tx(cfg, uci)
+    assert tx.shape == (B, 14, cfg.msc)
+    # 2-rx AWGN with a flat random channel
+    h = jnp.asarray((rng.standard_normal((B, 2, 1, 1))
+                     + 1j * rng.standard_normal((B, 2, 1, 1))).astype(np.complex64))
+    noise = 0.05 * jnp.asarray(
+        (rng.standard_normal((B, 2, 14, cfg.msc))
+         + 1j * rng.standard_normal((B, 2, 14, cfg.msc))).astype(np.complex64))
+    rx = h * tx[:, None] + noise
+    out, ok = pucch34_rx(cfg, rx)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(uci))
+    assert bool(np.asarray(ok).all())
+
+
+def test_pucch4_occ_multiplexing():
+    """Two users on the same PRB with different OCC indices separate."""
+    from openairinterface5g_tpu.models.pucch import Pucch34Config, pucch34_tx, pucch34_rx
+    rng = np.random.default_rng(7)
+    B = 2
+    cfgs = [Pucch34Config(fmt=4, n_bits=6, occ_len=2, occ_index=i) for i in range(2)]
+    ucis = [jnp.asarray(rng.integers(0, 2, (B, 6)).astype(np.int8)) for _ in range(2)]
+    txs = [pucch34_tx(c, u) for c, u in zip(cfgs, ucis)]
+    rx = (txs[0] + txs[1])[:, None]  # same channel, superposed, 1 rx ant
+    for c, u in zip(cfgs, ucis):
+        out, ok = pucch34_rx(c, rx)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(u))
