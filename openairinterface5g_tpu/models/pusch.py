@@ -54,6 +54,10 @@ class PuschConfig:
     llr_quant_bits: int = 0          # 0 = float; 8 = int8 reference parity
     chest_window: int = 8            # pilot smoothing window (filt16a analog)
     chest_mode: str = "window"       # 'window' | 'delay' (delay-domain denoise)
+    ptrs: bool = False               # phase-tracking RS (TS 38.211 §6.4.1.2)
+    ptrs_k: int = 2                  # K_PTRS: one SC every K PRBs
+    ptrs_l: int = 1                  # L_PTRS time density (1/2/4)
+    ptrs_re_offset: int = 0
 
     @property
     def bwp_prbs(self) -> int:
@@ -80,9 +84,38 @@ class PuschConfig:
         )
 
     @property
+    def ptrs_symbol_flags(self) -> tuple:
+        """Per-data-symbol flag: carries PTRS (every L_PTRS-th data symbol)."""
+        if not self.ptrs:
+            return tuple(False for _ in self.data_symbols)
+        return tuple(i % self.ptrs_l == 0 for i in range(len(self.data_symbols)))
+
+    def ptrs_rel_sc(self) -> np.ndarray:
+        """PTRS subcarriers relative to the allocation start."""
+        return refsig.ptrs_sc_indices(self.n_prb, self.ptrs_k, self.ptrs_re_offset)
+
+    def data_re_map(self):
+        """(symbol_ids, sc_ids) of data REs in mapping order (increasing
+        symbol then subcarrier), excluding PTRS REs — PUSCH data is
+        rate-matched around PTRS (TS 38.211 §6.4.1.2.2)."""
+        M = 12 * self.n_prb
+        ptrs_sc = set(self.ptrs_rel_sc().tolist()) if self.ptrs else set()
+        sym_ids, sc_ids = [], []
+        for i, s in enumerate(self.data_symbols):
+            for m in range(M):
+                if self.ptrs_symbol_flags[i] and m in ptrs_sc:
+                    continue
+                sym_ids.append(s)
+                sc_ids.append(m)
+        return np.array(sym_ids, np.int64), np.array(sc_ids, np.int64)
+
+    @property
     def n_data_re(self) -> int:
         """Data REs total (DMRS symbols carry no data: 2 CDM groups w/o data)."""
-        return len(self.data_symbols) * 12 * self.n_prb
+        n = len(self.data_symbols) * 12 * self.n_prb
+        if self.ptrs:
+            n -= sum(self.ptrs_symbol_flags) * len(self.ptrs_rel_sc())
+        return n
 
     @property
     def tbs(self) -> int:
@@ -102,12 +135,16 @@ class PuschConfig:
         bg = segmentation.base_graph_select(A, r)
         return segmentation.segment_params(A + L, bg), crc_name
 
-    def cb_e_sizes(self) -> list[int]:
-        """Per-code-block rate-matched lengths E_j (TS 38.212 §5.4.2.1)."""
+    def cb_e_sizes(self, g_total: int | None = None) -> list[int]:
+        """Per-code-block rate-matched lengths E_j (TS 38.212 §5.4.2.1).
+
+        g_total overrides G when UCI is rate-matched onto the PUSCH
+        (G_data = G - G_csi1 - G_csi2 [- G_ack], 38.212 §6.2.7).
+        """
         p, _ = self.seg_params()
         qm = self.qm_rate[0]
         C, Nl = p.C, self.n_layers
-        gp = self.G // (Nl * qm)
+        gp = (self.G if g_total is None else g_total) // (Nl * qm)
         gamma = gp % C
         return [Nl * qm * (gp // C) if j <= C - 1 - gamma else Nl * qm * (-(-gp // C))
                 for j in range(C)]
@@ -117,26 +154,37 @@ class PuschConfig:
 # TX
 # --------------------------------------------------------------------------
 
-def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
+def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
+                  uci_cfg=None, ack_bits=None, csi1_bits=None,
+                  csi2_bits=None):
     """(batch, TBS) payload bits -> ((B, L, symbols, n_sc_bwp) RE grid,
     scrambled codeword bits).  Grid-level entry so the gNB slot pipeline
     can sum multiple channels before one OFDM pass.
+
+    With uci_cfg, HARQ-ACK/CSI are bit-multiplexed into the codeword at
+    distributed RE positions before scrambling (TS 38.212 §6.2.7,
+    models/uci_on_pusch.py).
     """
     p, crc_name = cfg.seg_params()
     qm, _ = cfg.qm_rate
     B = tb_bits.shape[0]
 
+    g_data = cfg.G if uci_cfg is None else uci_cfg.g_sizes(cfg)[3]
     tb_crc = crc_attach(tb_bits.astype(jnp.int8), crc_name)
     cbs = segmentation.segment_tb(tb_crc, p)            # (B, C, K)
     g = ldpc.build_graph(p.bg, p.Z)
     cw = ldpc.encode(g, cbs.reshape(B * p.C, p.K)).reshape(B, p.C, -1)
-    es = cfg.cb_e_sizes()
+    es = cfg.cb_e_sizes(g_data)
     parts = []
     for j, E in enumerate(es):
         e = rate_matching.rate_match_tx(g, cw[:, j], rv, E, p.F)
         f = rate_matching.interleave_tx(e, qm)
         parts.append(f)
-    codeword = jnp.concatenate(parts, axis=-1)          # (B, G)
+    codeword = jnp.concatenate(parts, axis=-1)          # (B, G_data)
+    if uci_cfg is not None:
+        from .uci_on_pusch import mux_uci_bits
+        codeword = mux_uci_bits(cfg, uci_cfg, codeword, ack_bits=ack_bits,
+                                csi1_bits=csi1_bits, csi2_bits=csi2_bits)
     cinit = pusch_cinit(cfg.rnti, 0, cfg.n_id)
     scrambled = scramble(codeword, cinit)
     syms = mod.modulate(scrambled, qm)                  # (B, G/qm)
@@ -152,9 +200,23 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
     grid_re = jnp.zeros((B, cfg.n_layers, fp.symbols_per_slot, n_sc), jnp.complex64)
     m_per_sym = 12 * cfg.n_prb
     a0 = cfg.sc0
-    for i, s in enumerate(cfg.data_symbols):
-        grid_re = grid_re.at[:, :, s, a0: a0 + m_per_sym].set(
-            layers[..., i * m_per_sym: (i + 1) * m_per_sym])
+    if cfg.ptrs:
+        assert not cfg.transform_precoding, "PTRS defined for CP-OFDM PUSCH"
+        assert uci_cfg is None, "UCI+PTRS multiplexing not combined yet"
+        sym_ids, sc_ids = cfg.data_re_map()
+        grid_re = grid_re.at[:, :, jnp.asarray(sym_ids),
+                             jnp.asarray(sc_ids + a0)].set(layers)
+        # PTRS pilots on layer 0 (single PTRS port), DMRS-seeded per symbol
+        psc = jnp.asarray(cfg.ptrs_rel_sc() + a0)
+        for i, s in enumerate(cfg.data_symbols):
+            if cfg.ptrs_symbol_flags[i]:
+                cinit_p = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
+                pilp = refsig.dmrs_sequence(cinit_p, len(cfg.ptrs_rel_sc()))
+                grid_re = grid_re.at[:, 0, s, psc].set(pilp)
+    else:
+        for i, s in enumerate(cfg.data_symbols):
+            grid_re = grid_re.at[:, :, s, a0: a0 + m_per_sym].set(
+                layers[..., i * m_per_sym: (i + 1) * m_per_sym])
 
     # DMRS insertion (type 1, single symbol, ports 0..L-1)
     for s in cfg.dmrs_symbols:
@@ -170,16 +232,15 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
 
 
 def pusch_tx(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
-             uci_cfg=None, ack_bits=None):
+             uci_cfg=None, ack_bits=None, csi1_bits=None, csi2_bits=None):
     """(batch, TBS) payload bits -> (batch, n_tx_ant(=n_layers), samples).
 
-    With uci_cfg/ack_bits, HARQ-ACK is multiplexed onto the PUSCH
-    (models/uci_on_pusch.py).
+    With uci_cfg, HARQ-ACK/CSI part1/part2 are multiplexed onto the
+    PUSCH (models/uci_on_pusch.py).
     """
-    grid_re, scrambled = pusch_tx_grid(cfg, tb_bits, rv)
-    if uci_cfg is not None:
-        from .uci_on_pusch import mux_uci
-        grid_re = mux_uci(cfg, uci_cfg, grid_re, ack_bits)
+    grid_re, scrambled = pusch_tx_grid(cfg, tb_bits, rv, uci_cfg=uci_cfg,
+                                       ack_bits=ack_bits, csi1_bits=csi1_bits,
+                                       csi2_bits=csi2_bits)
     fp = cfg.fp
     grid = map_to_grid(fp, grid_re)
     tx = ofdm_modulate(fp, grid, cfg.slot)              # (B, L, samples)
@@ -270,15 +331,36 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
         mag = mag[:, None]
     else:
         x, mag = _mmse_over_syms(h, y, nvar)
-    ack_bits_out = None
-    if uci_cfg is not None:
-        from .uci_on_pusch import decode_ack, demux_uci
-        ack_llr, x, mag = demux_uci(cfg, uci_cfg, x, mag)
-        ack_bits_out = decode_ack(uci_cfg, ack_llr)
-
     # back to codeword order: (B, L, S, M) -> LLRs -> layer demap
-    x_f = x.reshape(B, cfg.n_layers, -1)
-    mag_f = mag.reshape(B, cfg.n_layers, -1)
+    if cfg.ptrs:
+        # common-phase-error tracking from PTRS REs
+        # (nr_pusch_ptrs_processing:498 analog): per-symbol phasor from
+        # MRC-combined PTRS correlation, held between PTRS symbols
+        psc_rel = cfg.ptrs_rel_sc()
+        psc = jnp.asarray(psc_rel + a0)
+        hp = h_est[:, :, 0, :][..., jnp.asarray(psc_rel)]   # (B,R,P)
+        phases, cur = [], None
+        for i, s in enumerate(cfg.data_symbols):
+            if cfg.ptrs_symbol_flags[i]:
+                cinit_p = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
+                pilp = refsig.dmrs_sequence(cinit_p, len(psc_rel))
+                yps = re_grid[:, :, s, :][..., psc]         # (B,R,P)
+                z = jnp.sum(yps * jnp.conj(hp * pilp[None, None, :]),
+                            axis=(1, 2))
+                cur = jnp.conj(z / jnp.maximum(jnp.abs(z), 1e-12))
+            phases.append(cur)
+        phase = jnp.stack(phases, axis=1)                   # (B, S)
+        x = x * phase[:, None, :, None]
+        # gather the data REs (rate-matched around PTRS positions)
+        sym_ids, sc_ids = cfg.data_re_map()
+        sym_pos = {s: i for i, s in enumerate(cfg.data_symbols)}
+        flat_idx = np.array([sym_pos[s] * m_per_sym + m
+                             for s, m in zip(sym_ids, sc_ids)], np.int64)
+        x_f = x.reshape(B, cfg.n_layers, -1)[:, :, jnp.asarray(flat_idx)]
+        mag_f = mag.reshape(B, cfg.n_layers, -1)[:, :, jnp.asarray(flat_idx)]
+    else:
+        x_f = x.reshape(B, cfg.n_layers, -1)
+        mag_f = mag.reshape(B, cfg.n_layers, -1)
     llrs = llr_mod.llrs(x_f, mag_f, qm)                 # (B, L, S*M*qm)
     # modulate/layer_map sent symbol i to layer i%L, so interleave per-symbol
     # qm-bit groups across layers to restore codeword order
@@ -289,12 +371,23 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
     if cfg.llr_quant_bits:
         llr_cw = llr_mod.quantize(llr_cw, bits=cfg.llr_quant_bits)
 
+    ack_bits_out = None
+    uci_out = None
+    g_data = cfg.G
+    if uci_cfg is not None:
+        from .uci_on_pusch import decode_uci, demux_uci_llrs
+        streams = demux_uci_llrs(cfg, uci_cfg, llr_cw)
+        uci_out = decode_uci(cfg, uci_cfg, streams)
+        ack_bits_out = uci_out.get("ack")
+        llr_cw = streams["data"]
+        g_data = uci_cfg.g_sizes(cfg)[3]
+
     # --- fused deinterleave + rate recovery (ONE scatter over the whole
     # TB) then ONE batched decode over the (B*C) dim — the reference's
     # per-CB thread jobs (C2) collapse into tensor dims, and compile time
     # stays flat in C
     g = ldpc.build_graph(p.bg, p.Z)
-    es = cfg.cb_e_sizes()
+    es = cfg.cb_e_sizes(g_data)
     stacked = rate_matching.fused_rate_match_rx(
         g, llr_cw, rv, tuple(es), qm, p.F, harq_buffer=harq_buffers)
     new_harq = stacked                                  # (B, C, cols*Z)
@@ -314,6 +407,7 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
         "llrs": llr_cw,
         "harq_buffers": new_harq,
         "ack_bits": ack_bits_out,
+        "uci": uci_out,
     }
 
 

@@ -114,7 +114,7 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
             sgn = sgn ^ (v < 0).astype(jnp.int32)
         return m1, m2, sgn, mags
 
-    def kernel(llr_ref, bits_ref, c2v, totals, done):
+    def kernel(llr_ref, bits_ref, ok_ref, c2v, totals, done):
         # llr_ref, bits_ref: (C, sb, Z); c2v: (E, sb, Z); totals: (C, sb, Z)
         # done: (1,) SMEM flag for in-kernel early termination — once every
         # code block in this group satisfies all parity checks, remaining
@@ -215,16 +215,36 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                 bits_ref[c] = jnp.roll(b, e, axis=-1) if e else b
         else:
             bits_ref[...] = (totals[...] < 0).astype(jnp.int8)
+        # per-CB parity flag computed in VMEM (one extra E-roll sweep —
+        # ~1 iteration of cost) instead of the former XLA gather epilogue,
+        # which dominated the whole decode at large Z
+        bad = jnp.zeros((sb, Z), jnp.int32)
+        for ri, (r, es) in enumerate(rows_edges):
+            syn = jnp.zeros((sb, Z), jnp.int32)
+            for d, (c, s) in enumerate(es):
+                b = (totals[c] < 0).astype(jnp.int32)
+                off = (int(entry_shift[c]) - s) % Z
+                syn = syn ^ (jnp.roll(b, off, axis=-1) if off else b)
+            bad = bad | syn
+        ok_ref[...] = jnp.broadcast_to(
+            (jnp.sum(bad, axis=-1, keepdims=True) == 0).astype(jnp.int8), (sb, Z))
 
     def run(llr8):
-        """llr8: (C, n_groups*sb, Z) acc_dtype -> bits same-shape int8."""
+        """llr8: (C, n_groups*sb, Z) acc_dtype -> (bits (C, B, Z) int8,
+        ok (B, Z) int8 with the flag replicated across lanes)."""
         n_groups = llr8.shape[1] // sb
         return pl.pallas_call(
             kernel,
             grid=(n_groups,),
             in_specs=[pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(llr8.shape, jnp.int8),
+            out_specs=[
+                pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((sb, Z), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(llr8.shape, jnp.int8),
+                jax.ShapeDtypeStruct((llr8.shape[1], Z), jnp.int8),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((E, sb, Z), msg_dtype),
                 pltpu.VMEM((C, sb, Z), acc_dtype),
@@ -266,22 +286,9 @@ def decode_pallas(
     if Bp != B:
         x = jnp.concatenate([x, jnp.zeros((Bp - B, C, Z), x.dtype)], axis=0)
     x = x.transpose(1, 0, 2)                      # (C, Bp, Z)
-    bits = run(x).transpose(1, 0, 2)              # (Bp, C, Z)
-    bits = bits[:B].reshape(B, C * Z)
-    ok = _parity_ok(g, bits)
+    bits_cbz, ok_bz = run(x)
+    bits = bits_cbz.transpose(1, 0, 2)[:B].reshape(B, C * Z)
+    ok = ok_bz[:B, 0] != 0                        # flag replicated on lanes
     return bits[:, : g.K], ok
 
 
-def _parity_ok(graph: LDPCGraph, bits: jnp.ndarray) -> jnp.ndarray:
-    """Syndrome check on hard bits: one gather + XOR-reduce (no rolls)."""
-    from ..coding.ldpc import _decode_indices
-
-    g, col_ids_np, idx_cn_np, _, valid_np = _decode_indices(graph.bg, graph.Z)
-    B = bits.shape[0]
-    b = jnp.concatenate(
-        [bits.reshape(B, g.cols, g.Z), jnp.zeros((B, 1, g.Z), bits.dtype)], axis=1)
-    vals = b[:, jnp.asarray(col_ids_np)].astype(jnp.int32)       # (B, RE, Z)
-    vals = jnp.take_along_axis(
-        vals, jnp.broadcast_to(jnp.asarray(idx_cn_np)[None], vals.shape), axis=-1)
-    syn = jnp.sum(vals.reshape(B, g.rows, g.max_deg, g.Z), axis=2) & 1
-    return jnp.all(syn == 0, axis=(1, 2))

@@ -59,3 +59,66 @@ def test_dci_blind_search():
     assert bool(found.all())
     np.testing.assert_array_equal(np.asarray(al), 4)
     np.testing.assert_array_equal(np.asarray(bits), payload)
+
+
+def test_interleaved_coreset_mapping_properties():
+    """Interleaver is a bijection; CCE PRB sets are disjoint; AL covers L*6 PRBs."""
+    from openairinterface5g_tpu.models.pdcch import CoresetConfig
+    cs = CoresetConfig(n_prb=48, interleaved=True, reg_bundle_size=6,
+                       interleaver_rows=2, shift=3)
+    f = cs.bundle_perm()
+    assert sorted(f.tolist()) == list(range(len(f)))
+    all_prbs = []
+    for cce in range(cs.n_cce):
+        prbs = cs.cce_prbs([cce])
+        assert len(prbs) == 6
+        all_prbs.extend(prbs.tolist())
+    assert sorted(all_prbs) == list(range(48))
+    # bundle size 2 with 6 rows also valid
+    cs2 = CoresetConfig(n_prb=24, interleaved=True, reg_bundle_size=2,
+                        interleaver_rows=6, shift=0)
+    assert sorted(cs2.bundle_perm().tolist()) == list(range(12))
+
+
+def test_pdcch_interleaved_roundtrip():
+    from openairinterface5g_tpu.models.pdcch import (CoresetConfig, DciConfig,
+                                                     pdcch_rx, pdcch_tx_grid)
+    cs = CoresetConfig(n_prb=48, interleaved=True, reg_bundle_size=6,
+                       interleaver_rows=2, shift=1)
+    cfg = DciConfig(A=39, aggregation_level=4, coreset=cs, cce_index=2)
+    rng = np.random.default_rng(3)
+    B = 4
+    payload = jnp.asarray(rng.integers(0, 2, (B, 39)).astype(np.int8))
+    tx = pdcch_tx_grid(cfg, payload)
+    noise = 0.05 * jnp.asarray(
+        (rng.standard_normal((B, 2, tx.shape[-1]))
+         + 1j * rng.standard_normal((B, 2, tx.shape[-1]))).astype(np.complex64))
+    rx = tx[:, None] + noise
+    out, ok = pdcch_rx(cfg, rx)
+    assert bool(np.asarray(ok).all())
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
+
+
+def test_blind_search_finds_nonzero_candidate():
+    """DCI at a non-zero USS candidate CCE is found by the blind search."""
+    from openairinterface5g_tpu.models.pdcch import (
+        CoresetConfig, DciConfig, blind_search, pdcch_tx_grid,
+        search_space_candidates)
+    cs = CoresetConfig(n_prb=48, interleaved=True, reg_bundle_size=6,
+                       interleaver_rows=2)
+    rnti = 0x4567
+    cands = search_space_candidates(cs, 2, 4, rnti=rnti, slot=1, css=False)
+    cce0 = cands[1]
+    cfg = DciConfig(A=20, aggregation_level=2, rnti=rnti, coreset=cs,
+                    cce_index=cce0)
+    rng = np.random.default_rng(4)
+    B = 2
+    payload = jnp.asarray(rng.integers(0, 2, (B, 20)).astype(np.int8))
+    tx = pdcch_tx_grid(cfg, payload, slot=1)
+    rx = tx[:, None]  # clean, 1 rx ant
+    out, found, al = blind_search(rx, A=20, rnti=rnti, coreset=cs, slot=1,
+                                  aggregation_levels=(1, 2, 4),
+                                  candidates_per_al=(4, 4, 2), css=False)
+    assert bool(np.asarray(found).all())
+    assert (np.asarray(al) == 2).all()
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))

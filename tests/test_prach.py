@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from openairinterface5g_tpu.models.prach import PrachConfig, prach_rx, prach_tx
@@ -43,3 +44,38 @@ def test_prach_delay_estimate():
     # delay in IFFT samples: d * n_ifft / l_ra ~ 3.66 -> 3 or 4
     delays = np.asarray(out["delay"])
     assert np.all((delays >= 3) & (delays <= 4))
+
+
+@pytest.mark.parametrize("fmt", ["0", "3", "A2", "B4"])
+def test_prach_time_domain_roundtrip(fmt):
+    from openairinterface5g_tpu.models.prach import (PrachTdConfig,
+                                                     prach_td_rx, prach_td_tx)
+    cfg = PrachTdConfig(fmt=fmt, mu=1, sample_rate=61.44e6,
+                        roots=(129, 140), n_cs=13 if fmt in "0123" else 11)
+    rng = np.random.default_rng(17)
+    B = 4
+    pre = jnp.asarray(rng.integers(0, 8, (B,)).astype(np.int32))
+    tx = prach_td_tx(cfg, pre)
+    assert tx.shape == (B, cfg.n_samples)
+    # delay by a few samples within the CP + AWGN at low SNR; 2 rx ants
+    d = 5
+    sig = float(np.mean(np.abs(np.asarray(tx)) ** 2))
+    rx1 = jnp.pad(tx, ((0, 0), (d, 0)))[:, : cfg.n_samples]
+    rx = jnp.stack([rx1, rx1 * np.complex64(0.8 - 0.3j)], axis=1)
+    noise = np.sqrt(sig) * 0.5 * (
+        rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape))
+    rx = rx + jnp.asarray(noise.astype(np.complex64))
+    out = prach_td_rx(cfg, rx)
+    assert bool(np.asarray(out["detected"]).all())
+    np.testing.assert_array_equal(np.asarray(out["preamble"]), np.asarray(pre))
+
+
+def test_prach_td_no_signal_no_detection():
+    from openairinterface5g_tpu.models.prach import PrachTdConfig, prach_td_rx
+    cfg = PrachTdConfig(fmt="A2", mu=1, sample_rate=61.44e6)
+    rng = np.random.default_rng(3)
+    rx = jnp.asarray((rng.standard_normal((2, 2, cfg.n_samples))
+                      + 1j * rng.standard_normal((2, 2, cfg.n_samples))
+                      ).astype(np.complex64))
+    out = prach_td_rx(cfg, rx)
+    assert not bool(np.asarray(out["detected"]).any())

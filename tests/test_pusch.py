@@ -109,3 +109,66 @@ def test_uci_on_pusch():
     out = pusch_rx(cfg, rx, n_iters=15, uci_cfg=ucfg)
     assert bool(out["tb_ok"].all()), "TB must survive the UCI puncturing"
     np.testing.assert_array_equal(np.asarray(out["ack_bits"]), np.asarray(ack))
+
+
+def test_uci_csi_rate_matched_on_pusch():
+    """ACK(>2 -> rate-matched) + CSI part 1 + part 2 all decode, TB intact."""
+    from openairinterface5g_tpu.models.uci_on_pusch import UciOnPuschConfig
+    from openairinterface5g_tpu.sim.channel import add_noise
+    import jax as _jax
+
+    cfg = PuschConfig(mu=1, n_prb=24, mcs=9)
+    ucfg = UciOnPuschConfig(n_ack_bits=4, n_csi1_bits=6, n_csi2_bits=13)
+    g_ack, g_c1, g_c2, g_data = ucfg.g_sizes(cfg)
+    assert g_data == cfg.G - g_ack - g_c1 - g_c2
+    rng = np.random.default_rng(9)
+    B = 4
+    tb = jnp.asarray(rng.integers(0, 2, (B, cfg.tbs)).astype(np.int8))
+    ack = jnp.asarray(rng.integers(0, 2, (B, 4)).astype(np.int8))
+    c1 = jnp.asarray(rng.integers(0, 2, (B, 6)).astype(np.int8))
+    c2 = jnp.asarray(rng.integers(0, 2, (B, 13)).astype(np.int8))
+    tx, _ = pusch_tx(cfg, tb, uci_cfg=ucfg, ack_bits=ack, csi1_bits=c1,
+                     csi2_bits=c2)
+    sig = float(np.mean(np.abs(np.asarray(tx)) ** 2))
+    rx = add_noise(_jax.random.PRNGKey(1), tx,
+                   sig * 10 ** (-8.0 / 10) * (cfg.fp.fft_size / cfg.fp.n_sc))
+    out = pusch_rx(cfg, rx, n_iters=15, uci_cfg=ucfg)
+    assert bool(out["tb_ok"].all())
+    np.testing.assert_array_equal(np.asarray(out["uci"]["ack"]), np.asarray(ack))
+    np.testing.assert_array_equal(np.asarray(out["uci"]["csi1"]), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(out["uci"]["csi2"]), np.asarray(c2))
+    assert bool(np.asarray(out["uci"]["csi2_ok"]).all())
+
+
+def test_ptrs_phase_tracking_recovers_cpe():
+    """PUSCH with PTRS survives per-symbol common phase error that breaks
+    the no-PTRS receiver (phase noise scenario, 38.211 §6.4.1.2)."""
+    import jax as _jax
+    from openairinterface5g_tpu.sim.channel import add_noise
+
+    rng = np.random.default_rng(11)
+    B = 4
+    phases = 0.35 * (np.arange(14) - 2.0)  # CFO-like ramp, 0 at DMRS symbol
+    rot = np.exp(1j * phases).astype(np.complex64)
+
+    def run(ptrs: bool):
+        cfg = PuschConfig(mu=1, n_prb=24, mcs=9, ptrs=ptrs, ptrs_k=2, ptrs_l=1)
+        tb = jnp.asarray(rng.integers(0, 2, (B, cfg.tbs)).astype(np.int8))
+        tx, _ = pusch_tx(cfg, tb)
+        fp = cfg.fp
+        # apply per-symbol CPE in the frequency domain via grid round trip
+        from openairinterface5g_tpu.phy.ofdm import (extract_from_grid,
+                                                     map_to_grid,
+                                                     ofdm_demodulate,
+                                                     ofdm_modulate)
+        grid = ofdm_demodulate(fp, tx, cfg.slot)
+        grid = grid * jnp.asarray(rot)[None, None, :, None]
+        rx = ofdm_modulate(fp, grid, cfg.slot)
+        sig = float(np.mean(np.abs(np.asarray(rx)) ** 2))
+        rx = add_noise(_jax.random.PRNGKey(2), rx,
+                       sig * 10 ** (-9.0 / 10) * (fp.fft_size / fp.n_sc))
+        out = pusch_rx(cfg, rx, n_iters=12)
+        return bool(np.asarray(out["tb_ok"]).all())
+
+    assert run(True), "PTRS receiver must correct the CPE"
+    assert not run(False), "sanity: without PTRS this CPE breaks decoding"
