@@ -33,6 +33,8 @@ from .pusch import PuschConfig, pusch_rx_grid, pusch_tx_grid
 class SsbPdu:
     cfg: PbchConfig
     prb_offset: int = 0      # lowest PRB of the 20-PRB SSB block
+    start_symbol: int = 2    # first symbol in this slot (38.213 §4.1 case;
+                             # see pbch.ssb_in_slot for burst placement)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,7 +69,12 @@ def gnb_dl_slot(dl: SlotDlConfig, tb_payloads: Sequence[jnp.ndarray],
     """
     fp = make_frame_params(dl.mu, dl.n_bwp_prb)
     assert dl.pdsch or dl.ssb is not None
-    B = (tb_payloads[0].shape[0] if dl.pdsch else mib_payload.shape[0])
+    if dl.pdsch:
+        B = tb_payloads[0].shape[0]
+    else:
+        m0 = (mib_payload[0] if isinstance(mib_payload, (tuple, list))
+              else mib_payload)
+        B = m0.shape[0]
     n_ant = max([p.n_layers for p in dl.pdsch] or [1])
     grid_re = jnp.zeros((B, n_ant, fp.symbols_per_slot, fp.n_sc), jnp.complex64)
     debug_bits = []
@@ -76,10 +83,14 @@ def gnb_dl_slot(dl: SlotDlConfig, tb_payloads: Sequence[jnp.ndarray],
         grid_re = grid_re.at[:, : cfg.n_layers].add(g)
         debug_bits.append(scr)
     if dl.ssb is not None:
-        tile = ssb_generate(dl.ssb.cfg, mib_payload)     # (B, 4, 240)
-        sc0 = 12 * dl.ssb.prb_offset
-        # SSB occupies symbols 2..5 of the slot (case C analog)
-        grid_re = grid_re.at[:, 0, 2:6, sc0: sc0 + 240].add(tile)
+        ssbs = dl.ssb if isinstance(dl.ssb, (tuple, list)) else (dl.ssb,)
+        mibs = (mib_payload if isinstance(mib_payload, (tuple, list))
+                else [mib_payload] * len(ssbs))
+        for pdu, mib in zip(ssbs, mibs):
+            tile = ssb_generate(pdu.cfg, mib)            # (B, 4, 240)
+            sc0 = 12 * pdu.prb_offset
+            s0 = pdu.start_symbol
+            grid_re = grid_re.at[:, 0, s0: s0 + 4, sc0: sc0 + 240].add(tile)
     grid = map_to_grid(fp, grid_re)
     return ofdm_modulate(fp, grid, dl.slot), debug_bits
 
