@@ -125,10 +125,36 @@ def fused_rx_indices(bg: int, Z: int, kc: int, rv: int, es: tuple, qm: int,
     return idx
 
 
+@functools.lru_cache(maxsize=64)
+def fused_rx_gather_layers(bg: int, Z: int, kc: int, rv: int, es: tuple,
+                           qm: int, F: int, ncb: int | None = None):
+    """Inverse of fused_rx_indices as GATHER layers: (L, C*N) source
+    positions into the (G,)-codeword (G = sentinel for 'no source' -> the
+    zero pad).  L = max repetition multiplicity (1 unless E > usable Ncb).
+
+    TPU scatters serialize on possible index collisions; the inverse
+    gather formulation runs at memory bandwidth instead.
+    """
+    N = (_DEN[bg] + 2) * Z - 2 * Z
+    idx = fused_rx_indices(bg, Z, kc, rv, es, qm, F, ncb)     # (G,) -> C*N
+    CN = len(es) * N
+    G = len(idx)
+    order = np.argsort(idx, kind="stable")
+    sorted_t = idx[order]
+    counts = np.bincount(idx, minlength=CN)
+    L = max(1, int(counts.max()))
+    first = np.searchsorted(sorted_t, np.arange(CN), side="left")
+    rank = np.arange(G) - first[sorted_t]
+    layers = np.full((L, CN), G, dtype=np.int32)
+    layers[rank, sorted_t] = order
+    return layers
+
+
 def fused_rate_match_rx(graph, llr_cw, rv: int, es: tuple, qm: int, F: int,
                         harq_buffer=None, filler_llr: float = 1e4,
                         ncb: int | None = None):
-    """(B, G) codeword LLRs -> (B, C, cols*Z) mother-code LLRs in ONE scatter.
+    """(B, G) codeword LLRs -> (B, C, cols*Z) mother-code LLRs via L
+    gathers (L = repetition multiplicity, normally 1).
 
     harq_buffer: optional (B, C, cols*Z) previous-round buffer to combine.
     """
@@ -136,8 +162,12 @@ def fused_rate_match_rx(graph, llr_cw, rv: int, es: tuple, qm: int, F: int,
     B = llr_cw.shape[0]
     C = len(es)
     N = g.N
-    idx = jnp.asarray(fused_rx_indices(g.bg, g.Z, g.kc, rv, tuple(es), qm, F, ncb))
-    d = jnp.zeros((B, C * N), llr_cw.dtype).at[:, idx].add(llr_cw)
+    layers = fused_rx_gather_layers(g.bg, g.Z, g.kc, rv, tuple(es), qm, F, ncb)
+    pad = jnp.concatenate(
+        [llr_cw, jnp.zeros((B, 1), llr_cw.dtype)], axis=-1)
+    d = pad[:, jnp.asarray(layers[0])]
+    for layer in layers[1:]:
+        d = d + pad[:, jnp.asarray(layer)]
     d = d.reshape(B, C, N)
     if F:
         K = g.K

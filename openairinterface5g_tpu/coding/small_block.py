@@ -48,9 +48,19 @@ def encode(bits: jnp.ndarray) -> jnp.ndarray:
     return (acc.astype(jnp.int32) & 1).astype(jnp.int8)
 
 
-def decode(llr: jnp.ndarray, K: int) -> jnp.ndarray:
-    """ML decode (..., 32) LLRs (>0 = bit 0) -> (..., K) bits."""
+def decode(llr: jnp.ndarray, K: int, return_conf: bool = False):
+    """ML decode (..., 32) LLRs (>0 = bit 0) -> (..., K) bits.
+
+    With return_conf, also returns the normalized correlation of the best
+    codeword (1.0 = every LLR sign matches; ~0 = noise/DTX) — the small
+    block code has no CRC, so this metric is the only detection signal.
+    """
     cb = jnp.asarray(codebook(K))  # (2^K, 32)
     scores = jnp.dot(llr.astype(jnp.float32), cb.T, preferred_element_type=jnp.float32)
     best = jnp.argmax(scores, axis=-1)
-    return ((best[..., None] >> jnp.arange(K)) & 1).astype(jnp.int8)
+    bits = ((best[..., None] >> jnp.arange(K)) & 1).astype(jnp.int8)
+    if not return_conf:
+        return bits
+    conf = jnp.max(scores, axis=-1) / (
+        jnp.sum(jnp.abs(llr.astype(jnp.float32)), axis=-1) + 1e-9)
+    return bits, conf

@@ -86,6 +86,9 @@ def gnb_dl_slot(dl: SlotDlConfig, tb_payloads: Sequence[jnp.ndarray],
         ssbs = dl.ssb if isinstance(dl.ssb, (tuple, list)) else (dl.ssb,)
         mibs = (mib_payload if isinstance(mib_payload, (tuple, list))
                 else [mib_payload] * len(ssbs))
+        assert len(mibs) == len(ssbs), (
+            f"mib_payload list length {len(mibs)} != number of SSB PDUs "
+            f"{len(ssbs)}")
         for pdu, mib in zip(ssbs, mibs):
             tile = ssb_generate(pdu.cfg, mib)            # (B, 4, 240)
             sc0 = 12 * pdu.prb_offset
@@ -93,6 +96,37 @@ def gnb_dl_slot(dl: SlotDlConfig, tb_payloads: Sequence[jnp.ndarray],
             grid_re = grid_re.at[:, 0, s0: s0 + 4, sc0: sc0 + 240].add(tile)
     grid = map_to_grid(fp, grid_re)
     return ofdm_modulate(fp, grid, dl.slot), debug_bits
+
+
+def _extract_pucch_tile(re_grid, cfg, prb: int) -> jnp.ndarray:
+    """(B, R, n_symbols, 12) PUCCH REs, following intra-slot frequency
+    hopping (first floor(N/2) symbols at `prb`, rest at second_hop_prb —
+    TS 38.211 §6.3.2.4.1)."""
+    s0 = cfg.start_symbol
+    if not getattr(cfg, "intra_slot_hopping", False):
+        sc = 12 * prb
+        return re_grid[:, :, s0: s0 + cfg.n_symbols, sc: sc + 12]
+    n_first = cfg.n_symbols // 2
+    sc1, sc2 = 12 * prb, 12 * cfg.second_hop_prb
+    return jnp.concatenate([
+        re_grid[:, :, s0: s0 + n_first, sc1: sc1 + 12],
+        re_grid[:, :, s0 + n_first: s0 + cfg.n_symbols, sc2: sc2 + 12],
+    ], axis=2)
+
+
+def place_pucch_tile(grid_re, tile, cfg, prb: int):
+    """Inverse of _extract_pucch_tile for UE-side slot composition:
+    adds (B, n_symbols, 12) onto (B, L, symbols, n_sc) layer 0."""
+    s0 = cfg.start_symbol
+    if not getattr(cfg, "intra_slot_hopping", False):
+        sc = 12 * prb
+        return grid_re.at[:, 0, s0: s0 + cfg.n_symbols, sc: sc + 12].add(tile)
+    n_first = cfg.n_symbols // 2
+    sc1, sc2 = 12 * prb, 12 * cfg.second_hop_prb
+    grid_re = grid_re.at[:, 0, s0: s0 + n_first, sc1: sc1 + 12].add(
+        tile[:, :n_first])
+    return grid_re.at[:, 0, s0 + n_first: s0 + cfg.n_symbols,
+                      sc2: sc2 + 12].add(tile[:, n_first:])
 
 
 def gnb_ul_slot(ul: SlotUlConfig, rx_samples: jnp.ndarray,
@@ -119,9 +153,7 @@ def gnb_ul_slot(ul: SlotUlConfig, rx_samples: jnp.ndarray,
 
     uci0 = []
     for cfg0, prb in ul.pucch0:
-        sc = 12 * prb
-        rx0 = re_grid[:, :, cfg0.start_symbol: cfg0.start_symbol + cfg0.n_symbols,
-                      sc: sc + 12]
+        rx0 = _extract_pucch_tile(re_grid, cfg0, prb)
         uci, metric = pucch0_rx(cfg0, rx0)
         uci0.append({"uci": uci, "metric": metric})
 

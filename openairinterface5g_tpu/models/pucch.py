@@ -52,6 +52,36 @@ def cyclic_shifted(u: int, alpha_idx: int, m_zc: int = 12) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Per-symbol hopping state (shared by formats 0/1)
+# --------------------------------------------------------------------------
+
+def _ncs_symbol(hopping_id: int, slot: int, symbol: int,
+                symbols_per_slot: int = 14) -> int:
+    """n_cs(n_s, l) — TS 38.211 §6.3.2.2.2: 8 Gold bits per (slot, symbol)
+    seeded by the hopping id (reference pucch_nr.c alpha computation)."""
+    from ..phy.hopping import _gold_bits_host
+    off = 8 * (symbols_per_slot * slot + symbol)
+    c = _gold_bits_host(hopping_id, off + 8).astype(np.int64)
+    return int((c[off: off + 8] * (1 << np.arange(8))).sum())
+
+
+def _symbol_states(cfg) -> list[tuple[int, int, int]]:
+    """Per PUCCH symbol: (u, n_cs, hop).  Intra-slot frequency hopping
+    splits the symbols at floor(N/2) (TS 38.211 §6.3.2.4.1); group /
+    sequence hopping gives each hop its own sequence group u."""
+    from ..phy.hopping import group_sequence_uv
+    states = []
+    n_first = cfg.n_symbols // 2 if cfg.intra_slot_hopping else cfg.n_symbols
+    for i in range(cfg.n_symbols):
+        hop = 1 if (cfg.intra_slot_hopping and i >= n_first) else 0
+        u, _ = group_sequence_uv(cfg.hopping_id, cfg.group_hopping,
+                                 cfg.slot, hop)
+        ncs = _ncs_symbol(cfg.hopping_id, cfg.slot, cfg.start_symbol + i)
+        states.append((u, ncs, hop))
+    return states
+
+
+# --------------------------------------------------------------------------
 # Format 0
 # --------------------------------------------------------------------------
 
@@ -62,6 +92,10 @@ class Pucch0Config:
     hopping_id: int = 0
     n_symbols: int = 1
     start_symbol: int = 13
+    slot: int = 0
+    group_hopping: str = "neither"   # 'neither' | 'enable' | 'disable'
+    intra_slot_hopping: bool = False
+    second_hop_prb: int = 0          # PRB of the 2nd hop (grid mapper use)
 
     @property
     def shifts(self) -> tuple:
@@ -69,31 +103,35 @@ class Pucch0Config:
         return (0, 6) if self.n_bits == 1 else (0, 3, 6, 9)
 
 
-def pucch0_tx(cfg: Pucch0Config, uci: jnp.ndarray) -> jnp.ndarray:
-    """(B,) UCI values -> (B, n_symbols, 12) sequence symbols.
+def _f0_candidate_table(cfg: Pucch0Config) -> np.ndarray:
+    """(n_symbols, 12, 12): candidate sequence per (symbol, m_cs) with the
+    spec's per-symbol alpha = 2pi/12 * (m0 + m_cs + n_cs(ns,l)) mod 12 and
+    per-hop sequence group u (TS 38.211 §6.3.2.2.2)."""
+    out = np.empty((cfg.n_symbols, 12, 12), np.complex64)
+    for i, (u, ncs, _) in enumerate(_symbol_states(cfg)):
+        for m in range(12):
+            out[i, m] = cyclic_shifted(u, (cfg.initial_cs + m + ncs) % 12)
+    return out
 
-    Group/sequence hopping off: u = hopping_id % 30 (simplified).
-    """
-    u = cfg.hopping_id % 30
-    cands = np.stack([cyclic_shifted(u, (cfg.initial_cs + m) % 12) for m in range(12)])
-    table = jnp.asarray(cands)  # (12, 12)
-    mcs = jnp.asarray(np.array(cfg.shifts, dtype=np.int32))[uci]
-    seq = jnp.take(table, mcs % 12, axis=0)  # (B, 12)
-    return jnp.repeat(seq[:, None, :], cfg.n_symbols, axis=1)
+
+def pucch0_tx(cfg: Pucch0Config, uci: jnp.ndarray) -> jnp.ndarray:
+    """(B,) UCI values -> (B, n_symbols, 12) sequence symbols."""
+    table = jnp.asarray(_f0_candidate_table(cfg))     # (S, 12, 12)
+    mcs = jnp.asarray(np.array(cfg.shifts, dtype=np.int32))[uci]  # (B,)
+    return jnp.take(table, mcs % 12, axis=1).swapaxes(0, 1)  # (B, S, 12)
 
 
 def pucch0_rx(cfg: Pucch0Config, rx: jnp.ndarray):
     """(B, n_rx, n_symbols, 12) received REs -> (uci (B,), metric).
 
     Correlates against all candidate shifts (nr_decode_pucch0 analog) —
-    one matmul on the MXU; also returns the max/second metric ratio as a
+    one matmul on the MXU; also returns the per-candidate energies as a
     DTX-detection statistic.
     """
-    u = cfg.hopping_id % 30
-    cands = np.stack([cyclic_shifted(u, (cfg.initial_cs + m) % 12)
-                      for m in cfg.shifts])           # (n_cand, 12)
+    full = _f0_candidate_table(cfg)                   # (S, 12, 12)
+    cands = full[:, np.array(cfg.shifts)]             # (S, n_cand, 12)
     table = jnp.asarray(np.conj(cands))
-    corr = jnp.einsum("brsk,ck->brsc", rx, table)     # coherent per symbol
+    corr = jnp.einsum("brsk,sck->brsc", rx, table)    # coherent per symbol
     energy = jnp.sum(jnp.abs(corr) ** 2, axis=(1, 2))  # (B, n_cand)
     uci = jnp.argmax(energy, axis=-1)
     return uci, energy
@@ -151,8 +189,11 @@ def uci_decode(n_bits: int, E: int, llr: jnp.ndarray, list_size: int = 8):
     if n_bits <= 11:
         folded = jnp.zeros((llr.shape[0], 32), llr.dtype)
         folded = folded.at[:, jnp.asarray(np.arange(E) % 32)].add(llr)
-        uci = small_block.decode(folded, n_bits)
-        return uci, jnp.ones(uci.shape[0], bool)
+        # no CRC in the small block code: 'ok' is a correlation-confidence
+        # threshold so callers can detect DTX / decode failure (conf is the
+        # fraction of received LLR mass agreeing with the best codeword).
+        uci, conf = small_block.decode(folded, n_bits, return_conf=True)
+        return uci, conf > 0.5
     crc_name = "11" if n_bits >= 20 else "6"
     n_pc = 0 if n_bits >= 20 else 3
     K = n_bits + CRC_POLYS[crc_name][0]
@@ -220,6 +261,10 @@ class Pucch1Config:
     initial_cs: int = 0
     hopping_id: int = 0
     occ_index: int = 0          # time-domain OCC row
+    slot: int = 0
+    group_hopping: str = "neither"
+    intra_slot_hopping: bool = False
+    second_hop_prb: int = 0
 
     @property
     def n_data_syms(self) -> int:
@@ -229,6 +274,21 @@ class Pucch1Config:
     def n_dmrs_syms(self) -> int:
         return self.n_symbols - self.n_data_syms
 
+    def occ_blocks(self) -> list[tuple[list[int], list[int]]]:
+        """[(dmrs_symbol_idxs, data_symbol_idxs)] per intra-slot hop —
+        the time-domain OCC spans each hop separately (TS 38.211
+        Table 6.3.2.4.1-1)."""
+        n_first = self.n_symbols // 2 if self.intra_slot_hopping else self.n_symbols
+        hops = [range(0, n_first), range(n_first, self.n_symbols)]
+        out = []
+        for h in hops:
+            syms = list(h)
+            if not syms:
+                continue
+            out.append(([s for s in syms if s % 2 == 0],
+                        [s for s in syms if s % 2 == 1]))
+        return out
+
 
 def _occ_matrix(n: int) -> np.ndarray:
     """DFT orthogonal cover codes w_i(m) = exp(j 2 pi i m / n)."""
@@ -237,31 +297,36 @@ def _occ_matrix(n: int) -> np.ndarray:
     return np.exp(2j * np.pi * i * m / n).astype(np.complex64)
 
 
+def _f1_bases(cfg: Pucch1Config) -> np.ndarray:
+    """(n_symbols, 12) per-symbol base sequence r_{u,alpha(l)} with the
+    spec per-symbol alpha (m0 + n_cs(ns,l)) and per-hop group u."""
+    out = np.empty((cfg.n_symbols, 12), np.complex64)
+    for i, (u, ncs, _) in enumerate(_symbol_states(cfg)):
+        out[i] = cyclic_shifted(u, (cfg.initial_cs + ncs) % 12)
+    return out
+
+
 def pucch1_tx(cfg: Pucch1Config, uci: jnp.ndarray) -> jnp.ndarray:
     """(B,) UCI values -> (B, n_symbols, 12) REs.
 
     DMRS on even symbol offsets, data on odd (38.211 Table 6.4.1.3.1.3-1
-    structure); data symbol = d * r_alpha * w_occ(m).
+    structure); data symbol = d * r_alpha(l) * w_occ(m), OCC spanning
+    each intra-slot hop separately.
     """
-    u = cfg.hopping_id % 30
-    base = jnp.asarray(cyclic_shifted(u, cfg.initial_cs))
+    bases = jnp.asarray(_f1_bases(cfg))
     # BPSK/QPSK point from UCI value
     table = jnp.asarray(np.array(
         [1 + 0j, -1 + 0j] if cfg.n_bits == 1 else
         [(1 + 1j), (1 - 1j), (-1 + 1j), (-1 - 1j)], dtype=np.complex64) / (np.sqrt(2) if cfg.n_bits == 2 else 1))
     d = jnp.take(table, uci)
-    w_d = jnp.asarray(_occ_matrix(cfg.n_data_syms)[cfg.occ_index])
-    w_m = jnp.asarray(_occ_matrix(cfg.n_dmrs_syms)[cfg.occ_index])
     out = jnp.zeros((uci.shape[0], cfg.n_symbols, 12), jnp.complex64)
-    di = 0
-    mi = 0
-    for s in range(cfg.n_symbols):
-        if s % 2 == 0:  # DMRS
-            out = out.at[:, s].set(base[None] * w_m[mi])
-            mi += 1
-        else:
-            out = out.at[:, s].set(d[:, None] * base[None] * w_d[di])
-            di += 1
+    for dmrs_syms, data_syms in cfg.occ_blocks():
+        w_m = _occ_matrix(len(dmrs_syms))[cfg.occ_index]
+        w_d = _occ_matrix(len(data_syms))[cfg.occ_index] if data_syms else []
+        for mi, s in enumerate(dmrs_syms):
+            out = out.at[:, s].set(bases[s][None] * w_m[mi])
+        for di, s in enumerate(data_syms):
+            out = out.at[:, s].set(d[:, None] * bases[s][None] * w_d[di])
     return out
 
 
@@ -270,19 +335,23 @@ def pucch1_rx(cfg: Pucch1Config, rx: jnp.ndarray):
 
     Coherent detection (nr_decode_pucch1 analog): channel from DMRS
     symbols (OCC-despread), data symbols OCC-despread and matched against
-    the constellation.
+    the constellation; hops detected independently and combined.
     """
-    u = cfg.hopping_id % 30
-    base = jnp.asarray(np.conj(cyclic_shifted(u, cfg.initial_cs)))
-    w_d = jnp.asarray(np.conj(_occ_matrix(cfg.n_data_syms)[cfg.occ_index]))
-    w_m = jnp.asarray(np.conj(_occ_matrix(cfg.n_dmrs_syms)[cfg.occ_index]))
-    dmrs_syms = [s for s in range(cfg.n_symbols) if s % 2 == 0]
-    data_syms = [s for s in range(cfg.n_symbols) if s % 2 == 1]
-    y_m = rx[:, :, jnp.asarray(dmrs_syms)] * base * w_m[None, None, :, None]
-    h = jnp.mean(y_m, axis=2)                       # (B, R, 12)
-    y_d = rx[:, :, jnp.asarray(data_syms)] * base * w_d[None, None, :, None]
-    z = jnp.mean(y_d, axis=2)                       # (B, R, 12)
-    corr = jnp.sum(jnp.conj(h) * z, axis=(1, 2))    # (B,)
+    bases_c = jnp.asarray(np.conj(_f1_bases(cfg)))
+    corr = None
+    for dmrs_syms, data_syms in cfg.occ_blocks():
+        if not data_syms:
+            continue
+        w_m = np.conj(_occ_matrix(len(dmrs_syms))[cfg.occ_index])
+        w_d = np.conj(_occ_matrix(len(data_syms))[cfg.occ_index])
+        y_m = (rx[:, :, jnp.asarray(dmrs_syms)] * bases_c[jnp.asarray(dmrs_syms)]
+               * jnp.asarray(w_m)[None, None, :, None])
+        h = jnp.mean(y_m, axis=2)                       # (B, R, 12)
+        y_d = (rx[:, :, jnp.asarray(data_syms)] * bases_c[jnp.asarray(data_syms)]
+               * jnp.asarray(w_d)[None, None, :, None])
+        z = jnp.mean(y_d, axis=2)                       # (B, R, 12)
+        c = jnp.sum(jnp.conj(h) * z, axis=(1, 2))       # (B,)
+        corr = c if corr is None else corr + c
     if cfg.n_bits == 1:
         uci = (corr.real < 0).astype(jnp.int32)
     else:

@@ -48,6 +48,8 @@ class PuschConfig:
     n_id: int = 0
     slot: int = 0
     transform_precoding: bool = False
+    group_seq_hopping: str = "neither"  # DFT-s-OFDM DMRS u/v hopping
+                                        # ('neither'|'enable'|'disable')
     prb_start: int = 0               # allocation offset within the BWP
     n_bwp_prb: int | None = None     # carrier/BWP width (defaults to n_prb)
     decoder_backend: str = "xla"     # 'xla' | 'pallas' (coding/backend.py)
@@ -85,10 +87,22 @@ class PuschConfig:
 
     @property
     def ptrs_symbol_flags(self) -> tuple:
-        """Per-data-symbol flag: carries PTRS (every L_PTRS-th data symbol)."""
+        """Per-data-symbol flag: carries PTRS.
+
+        TS 38.211 Table 6.4.1.2.2.1-1: PTRS every L_PTRS symbols, with the
+        counter RESTARTING at each DMRS symbol (the DMRS provides the phase
+        reference at its own position, so the next PTRS is L_PTRS after it).
+        """
         if not self.ptrs:
             return tuple(False for _ in self.data_symbols)
-        return tuple(i % self.ptrs_l == 0 for i in range(len(self.data_symbols)))
+        flags = []
+        l_ref = self.start_symbol
+        for s in range(self.start_symbol, self.start_symbol + self.n_symbols):
+            if s in self.dmrs_symbols:
+                l_ref = s
+                continue
+            flags.append((s - l_ref) % self.ptrs_l == 0)
+        return tuple(flags)
 
     def ptrs_rel_sc(self) -> np.ndarray:
         """PTRS subcarriers relative to the allocation start."""
@@ -134,6 +148,21 @@ class PuschConfig:
         qm, r = self.qm_rate
         bg = segmentation.base_graph_select(A, r)
         return segmentation.segment_params(A + L, bg), crc_name
+
+    def dmrs_pilot(self, symbol: int) -> jnp.ndarray:
+        """(6*n_prb,) DMRS pilot sequence for a DMRS symbol.
+
+        CP-OFDM: Gold-seeded QPSK (TS 38.211 §6.4.1.1.1.1).  Transform
+        precoding: low-PAPR sequence r_{u,v} (§6.4.1.1.1.2) with group /
+        sequence hopping from group_seq_hopping — the reference's
+        nr_dmrs_rx.c / ul_ref_seq_nr.c split."""
+        if not self.transform_precoding:
+            cinit_d = refsig.dmrs_cinit(self.slot, symbol, self.n_id)
+            return refsig.dmrs_sequence(cinit_d, 6 * self.n_prb)
+        from ..phy.hopping import group_sequence_uv
+        u, v = group_sequence_uv(self.n_id, self.group_seq_hopping,
+                                 self.slot, hop=0, m_zc=6 * self.n_prb)
+        return jnp.asarray(refsig.low_papr_sequence(u, v, 6 * self.n_prb))
 
     def cb_e_sizes(self, g_total: int | None = None) -> list[int]:
         """Per-code-block rate-matched lengths E_j (TS 38.212 §5.4.2.1).
@@ -218,10 +247,10 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
             grid_re = grid_re.at[:, :, s, a0: a0 + m_per_sym].set(
                 layers[..., i * m_per_sym: (i + 1) * m_per_sym])
 
-    # DMRS insertion (type 1, single symbol, ports 0..L-1)
+    # DMRS insertion (type 1, single symbol, ports 0..L-1); low-PAPR
+    # sequence instead of Gold QPSK when transform precoding
     for s in cfg.dmrs_symbols:
-        cinit_d = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
-        pil = refsig.dmrs_sequence(cinit_d, 6 * cfg.n_prb)
+        pil = cfg.dmrs_pilot(s)
         for port in range(cfg.n_layers):
             wf, delta = refsig.dmrs_type1_port_weights(port)
             sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta) + a0
@@ -265,10 +294,11 @@ def pusch_rx(cfg: PuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
                          harq_buffers=harq_buffers, uci_cfg=uci_cfg)
 
 
-def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
-                  n_iters: int = 20, harq_buffers=None, uci_cfg=None):
-    """RX from a (batch, n_rx, symbols, n_sc_bwp) resource-element grid."""
-    p, crc_name = cfg.seg_params()
+def pusch_frontend(cfg: PuschConfig, re_grid: jnp.ndarray) -> jnp.ndarray:
+    """RE grid (batch, n_rx, symbols, n_sc_bwp) -> descrambled codeword
+    LLRs (B, G): channel estimation, MRC/MMSE equalization, PTRS phase
+    tracking, LLR computation, descrambling.  The 'inner_rx' stage of the
+    reference (nr_ulsch_demodulation.c:1262) as one fused XLA program."""
     qm, _ = cfg.qm_rate
     B = re_grid.shape[0]
     m_per_sym = 12 * cfg.n_prb
@@ -284,8 +314,7 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
         sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta) + a0
         hp_syms = []
         for s in cfg.dmrs_symbols:
-            cinit_d = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
-            pil = refsig.dmrs_sequence(cinit_d, 6 * cfg.n_prb)
+            pil = cfg.dmrs_pilot(s)
             yp = re_grid[:, :, s, :][..., jnp.asarray(sc)]   # (B, R, P)
             ls = ce.ls_estimate(yp, pil)
             if cfg.n_layers > 1:
@@ -370,6 +399,16 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
     llr_cw = scramble_llrs(llr_cw, cinit)
     if cfg.llr_quant_bits:
         llr_cw = llr_mod.quantize(llr_cw, bits=cfg.llr_quant_bits)
+    return llr_cw
+
+
+def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
+                  n_iters: int = 20, harq_buffers=None, uci_cfg=None):
+    """RX from a (batch, n_rx, symbols, n_sc_bwp) resource-element grid."""
+    p, crc_name = cfg.seg_params()
+    qm, _ = cfg.qm_rate
+    B = re_grid.shape[0]
+    llr_cw = pusch_frontend(cfg, re_grid)
 
     ack_bits_out = None
     uci_out = None

@@ -58,7 +58,10 @@ class UciOnPuschConfig:
         """REs per layer for a stream (38.212 6.3.2.4.1.1 shape)."""
         if O == 0:
             return 0
-        sum_kr = cfg.tbs + (24 if cfg.tbs > 3824 else 16)
+        # 38.212 6.3.2.4.1.1: denominator is sum_r K_r over the UL-SCH code
+        # blocks (per-CB size incl. CB CRC + filler), not TBS + TB-CRC.
+        p, _ = cfg.seg_params()
+        sum_kr = p.C * p.K
         m_uci = cfg.n_data_re
         q = int(np.ceil((O + _crc_len(O)) * beta * m_uci / sum_kr))
         q = min(q, int(np.ceil(self.alpha * m_uci)), cap_re)
@@ -66,7 +69,7 @@ class UciOnPuschConfig:
 
     def g_sizes(self, cfg: PuschConfig) -> tuple[int, int, int, int]:
         """(G_ack, G_csi1, G_csi2, G_data) in bits."""
-        a, c1, c2, _, _ = _build_map(cfg, self)
+        a, c1, c2, _, _, _ = _build_map(cfg, self)
         per_re = cfg.n_layers * cfg.qm_rate[0]
         g_ack = len(a) * per_re
         g_csi1 = len(c1) * per_re
@@ -127,6 +130,9 @@ def _build_map_cached(cfg: PuschConfig, ucfg: UciOnPuschConfig):
     csi1_res = select(0, q_csi1, avoid=set(ack_res)) if ucfg.n_csi1_bits else []
     cap -= len(csi1_res)
     q_csi2 = ucfg._q_prime(cfg, ucfg.n_csi2_bits, ucfg.beta_csi2, cap_re=cap // 2)
+    # CSI part 2 may land on reserved ACK candidate REs; per 38.212 6.2.7
+    # the ACK (<=2 bits) then PUNCTURES CSI part 2 there (handled at demux
+    # by zeroing the overlapped CSI2 LLRs).
     csi2_res = select(0, q_csi2) if ucfg.n_csi2_bits else []
 
     # data-RE order: everything still free, plus (if puncturing) the ACK REs
@@ -136,10 +142,17 @@ def _build_map_cached(cfg: PuschConfig, ucfg: UciOnPuschConfig):
     data_res = [si * M + m for si in range(S) for m in range(M)
                 if (si * M + m) not in taken]
     pos_of = {re: i for i, re in enumerate(data_res)}
-    ack_in_data = [pos_of[re] for re in ack_res] if ucfg.ack_punctures else []
+    csi2_pos = {re: i for i, re in enumerate(csi2_res)}
+    ack_in_data, ack_in_csi2 = [], []
+    if ucfg.ack_punctures:
+        for re in ack_res:
+            if re in csi2_pos:
+                ack_in_csi2.append(csi2_pos[re])
+            else:
+                ack_in_data.append(pos_of[re])
     return (np.array(ack_res, np.int64), np.array(csi1_res, np.int64),
             np.array(csi2_res, np.int64), np.array(data_res, np.int64),
-            np.array(ack_in_data, np.int64))
+            np.array(ack_in_data, np.int64), np.array(ack_in_csi2, np.int64))
 
 
 def _build_map(cfg, ucfg):
@@ -155,7 +168,7 @@ def mux_uci_bits(cfg: PuschConfig, ucfg: UciOnPuschConfig,
                  data_cw: jnp.ndarray, ack_bits=None,
                  csi1_bits=None, csi2_bits=None) -> jnp.ndarray:
     """data codeword (B, G_data) + UCI payloads -> (B, G) multiplexed bits."""
-    ack_res, c1_res, c2_res, data_res, _ = _build_map(cfg, ucfg)
+    ack_res, c1_res, c2_res, data_res, _, _ = _build_map(cfg, ucfg)
     per_re = cfg.n_layers * cfg.qm_rate[0]
     B = data_cw.shape[0]
     out = jnp.zeros((B, cfg.G), jnp.int8)
@@ -174,9 +187,11 @@ def demux_uci_llrs(cfg: PuschConfig, ucfg: UciOnPuschConfig,
     """(B, G) descrambled LLRs -> dict of per-stream LLRs + data LLRs.
 
     Data LLRs have zeros at punctured ACK positions (erasures for the
-    LDPC decoder), matching the reference's puncture handling.
+    LDPC decoder), matching the reference's puncture handling; CSI part 2
+    LLRs are likewise zeroed where the ACK punctured them (38.212 6.2.7).
     """
-    ack_res, c1_res, c2_res, data_res, ack_in_data = _build_map(cfg, ucfg)
+    (ack_res, c1_res, c2_res, data_res,
+     ack_in_data, ack_in_csi2) = _build_map(cfg, ucfg)
     per_re = cfg.n_layers * cfg.qm_rate[0]
     out = {}
     if len(ack_res):
@@ -184,7 +199,10 @@ def demux_uci_llrs(cfg: PuschConfig, ucfg: UciOnPuschConfig,
     if len(c1_res):
         out["csi1"] = llr_cw[:, jnp.asarray(_bit_idx(c1_res, per_re))]
     if len(c2_res):
-        out["csi2"] = llr_cw[:, jnp.asarray(_bit_idx(c2_res, per_re))]
+        csi2 = llr_cw[:, jnp.asarray(_bit_idx(c2_res, per_re))]
+        if len(ack_in_csi2):
+            csi2 = csi2.at[:, jnp.asarray(_bit_idx(ack_in_csi2, per_re))].set(0.0)
+        out["csi2"] = csi2
     data = llr_cw[:, jnp.asarray(_bit_idx(data_res, per_re))]
     if len(ack_in_data):
         data = data.at[:, jnp.asarray(_bit_idx(ack_in_data, per_re))].set(0.0)

@@ -60,13 +60,18 @@ def _edges(graph: LDPCGraph):
 @functools.lru_cache(maxsize=32)
 def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                    schedule: str = "layered", sb: int = 16, msg_dtype=jnp.float32,
-                   check_every: int = 0):
+                   check_every: int = 0, debug_noroll: bool = False):
     """msg_dtype selects the numeric path:
       float32  — float messages/totals (default)
+      bfloat16 — bf16 messages AND compute: half the vector registers per
+                 (sb, Z) tile, ~2x VPU throughput; LLR inputs are clipped
+                 to +-24 so totals stay in bf16's exact-integer range
       int8     — int8 message storage + int32 compute, saturating,
                  alpha = 13/16 exactly: the reference's 8-bit fixed-point
                  semantics (nrLDPC_cnProc.h); 4x less message VMEM.
     The int8 path expects int32 LLRs pre-quantized to [-127, 127].
+    debug_noroll: timing-isolation mode — skips all lane rotations
+    (decodes garbage; only for measuring the roll share of kernel time).
     """
     graph = build_graph(bg, Z)
     rows_edges = _edges(graph)
@@ -86,12 +91,31 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
     # int8 message storage with int32 compute: this Mosaic version exposes
     # no int16/int8 vector ALU ops (min/abs/select), so accumulation and
     # the min-sum tree run in int32; VMEM still shrinks 4x vs f32 messages
-    acc_dtype = jnp.int32 if int_path else jnp.float32
-    big = np.int32(2**30) if int_path else _BIG
+    if int_path:
+        acc_dtype = jnp.int32
+        big = np.int32(2**30)
+    elif msg_dtype == jnp.bfloat16:
+        import ml_dtypes
+        acc_dtype = jnp.bfloat16
+        big = ml_dtypes.bfloat16(3e38)
+    else:
+        acc_dtype = jnp.float32
+        big = _BIG
+    # bf16 path keeps every tile 16-bit-layout inside the kernel: bool
+    # masks over bf16 convert to bf16 0/1 (same width), never int8/int32
+    bits_dtype = jnp.bfloat16 if acc_dtype == jnp.bfloat16 else jnp.int8
+
+    def _roll(x, s):
+        if debug_noroll or s % Z == 0:
+            return x
+        return jnp.roll(x, s, axis=-1)
 
     def _scale(mag):
         if int_path:  # alpha = 13/16 = 0.8125 exactly, integer-only
             return (mag * 13 + 8) >> 4
+        if acc_dtype == jnp.bfloat16:
+            import ml_dtypes
+            return mag * ml_dtypes.bfloat16(alpha)
         return mag * np.float32(alpha)
 
     def _sat(val):
@@ -99,11 +123,18 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
             return jnp.clip(val, -127, 127).astype(jnp.int8)
         return val.astype(msg_dtype)
 
+    def _sign(v):
+        """±1 in acc_dtype (float paths keep sign algebra in the message
+        dtype — int32 xors force 16↔32-bit layout changes in Mosaic)."""
+        return jnp.where(v < 0, jnp.full_like(v, -1), jnp.full_like(v, 1))
+
     def _cn_minsum(rot):
-        """min1/min2/sign across a row's rotated v2c messages."""
+        """min1/min2/sign across a row's rotated v2c messages.
+        Returns sgn = int32 parity (int path) or ±1 product (float paths)."""
         m1 = jnp.full_like(rot[0], big)
         m2 = jnp.full_like(rot[0], big)
-        sgn = jnp.zeros_like(rot[0], dtype=jnp.int32)
+        sgn = (jnp.zeros_like(rot[0], dtype=jnp.int32) if int_path
+               else jnp.full_like(rot[0], 1))
         mags = []
         for v in rot:
             a = jnp.abs(v)
@@ -111,8 +142,18 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
             new_m1 = jnp.minimum(m1, a)
             m2 = jnp.minimum(m2, jnp.maximum(m1, a))
             m1 = new_m1
-            sgn = sgn ^ (v < 0).astype(jnp.int32)
+            if int_path:
+                sgn = sgn ^ (v < 0).astype(jnp.int32)
+            else:
+                sgn = sgn * _sign(v)
         return m1, m2, sgn, mags
+
+    def _edge_val(mag, sgn, v):
+        """c2v magnitude+sign for one edge given the row aggregates."""
+        if int_path:
+            neg = sgn ^ (v < 0).astype(jnp.int32)
+            return jnp.where(neg == 1, -mag, mag)
+        return mag * sgn * _sign(v)
 
     def kernel(llr_ref, bits_ref, ok_ref, c2v, totals, done):
         # llr_ref, bits_ref: (C, sb, Z); c2v: (E, sb, Z); totals: (C, sb, Z)
@@ -125,22 +166,33 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
             # pre-rotate each column into its iteration-boundary orientation
             for c in range(C):
                 e = int(entry_shift[c])
-                totals[c] = jnp.roll(llr_ref[c], -e, axis=-1) if e else llr_ref[c]
+                totals[c] = _roll(llr_ref[c], -e)
         else:
             totals[...] = llr_ref[...]
         done[0] = 0
 
         def _syndrome_ok():
             """1 iff every row's parity holds for every CB in the group."""
-            bad = jnp.zeros((sb, Z), jnp.int32)
+            if int_path:
+                bad = jnp.zeros((sb, Z), jnp.int32)
+                for ri, (r, es) in enumerate(rows_edges):
+                    syn = jnp.zeros((sb, Z), jnp.int32)
+                    for d, (c, s) in enumerate(es):
+                        b = (totals[c] < 0).astype(jnp.int32)
+                        off = (int(entry_shift[c]) - s) % Z
+                        syn = syn ^ _roll(b, off)
+                    bad = bad | syn
+                return (jnp.sum(bad) == 0).astype(jnp.int32)
+            # float paths: parity as a product of ±1 signs, min over rows
+            good = jnp.full((sb, Z), 1, acc_dtype)
             for ri, (r, es) in enumerate(rows_edges):
-                syn = jnp.zeros((sb, Z), jnp.int32)
+                syn = jnp.full((sb, Z), 1, acc_dtype)
                 for d, (c, s) in enumerate(es):
-                    b = (totals[c] < 0).astype(jnp.int32)
                     off = (int(entry_shift[c]) - s) % Z
-                    syn = syn ^ (jnp.roll(b, off, axis=-1) if off else b)
-                bad = bad | syn
-            return (jnp.sum(bad) == 0).astype(jnp.int32)
+                    syn = syn * _roll(_sign(totals[c]), off)
+                good = jnp.minimum(good, syn)
+            n_bad = jnp.sum((good < 0).astype(jnp.float32))
+            return (n_bad == 0).astype(jnp.int32)
 
         def flooding_iter(_, carry):
             # check-node pass with totals fixed (each edge belongs to one
@@ -150,13 +202,12 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                 rot = []
                 for d, (c, s) in enumerate(es):
                     v2c = totals[c] - c2v[base + d].astype(acc_dtype)
-                    rot.append(jnp.roll(v2c, -s, axis=-1) if s % Z else v2c)
+                    rot.append(_roll(v2c, -s))
                 m1, m2, sgn, mags = _cn_minsum(rot)
                 for d, (c, s) in enumerate(es):
                     mag = _scale(jnp.where(mags[d] == m1, m2, m1))
-                    neg = sgn ^ (rot[d] < 0).astype(jnp.int32)
-                    val = jnp.where(neg == 1, -mag, mag)
-                    c2v[base + d] = _sat(jnp.roll(val, s, axis=-1) if s % Z else val)
+                    val = _edge_val(mag, sgn, rot[d])
+                    c2v[base + d] = _sat(_roll(val, s))
             # variable-node pass
             totals[...] = llr_ref[...]
             for ri, (r, es) in enumerate(rows_edges):
@@ -168,27 +219,30 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
         def layered_iter(_, carry):
             # row-layered schedule with rotation composition: totals live in
             # the last-visited row's orientation, c2v in check orientation —
-            # one composed roll per edge instead of a roll in + roll back
+            # one composed roll per edge instead of a roll in + roll back.
+            # The rolled totals are NOT written back: they stay in registers
+            # for the row and the (single) VMEM store happens at the update,
+            # halving totals traffic vs a store-on-roll + store-on-update.
             cur = {c: int(entry_shift[c]) for c in range(C)}
             for ri, (r, es) in enumerate(rows_edges):
                 base = int(edge_base[ri])
-                rot = []
+                rot, tloc, old = [], [], []
                 for d, (c, s) in enumerate(es):
                     # stored = roll(nat, -cur); row view = roll(nat, -s)
                     #        = roll(stored, cur - s)
                     delta = (cur[c] - s) % Z
-                    if delta:
-                        totals[c] = jnp.roll(totals[c], delta, axis=-1)
+                    t = _roll(totals[c], delta)
                     cur[c] = s % Z
-                    rot.append(totals[c] - c2v[base + d].astype(acc_dtype))
+                    o = c2v[base + d].astype(acc_dtype)
+                    tloc.append(t)
+                    old.append(o)
+                    rot.append(t - o)
                 m1, m2, sgn, mags = _cn_minsum(rot)
                 for d, (c, s) in enumerate(es):
                     mag = _scale(jnp.where(mags[d] == m1, m2, m1))
-                    neg = sgn ^ (rot[d] < 0).astype(jnp.int32)
-                    new_c2v = _sat(jnp.where(neg == 1, -mag, mag))
+                    new_c2v = _sat(_edge_val(mag, sgn, rot[d]))
                     # totals[c] = llr-part + sum c2v: replace old with new
-                    totals[c] = totals[c] + (new_c2v.astype(acc_dtype)
-                                             - c2v[base + d].astype(acc_dtype))
+                    totals[c] = tloc[d] + (new_c2v.astype(acc_dtype) - old[d])
                     c2v[base + d] = new_c2v
             # schedule is cyclic: cur == entry_shift again at the boundary
             assert all(cur[c] == int(entry_shift[c]) for c in range(C))
@@ -211,23 +265,33 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
             # undo the per-column iteration-boundary rotation
             for c in range(C):
                 e = int(entry_shift[c])
-                b = (totals[c] < 0).astype(jnp.int8)
-                bits_ref[c] = jnp.roll(b, e, axis=-1) if e else b
+                bits_ref[c] = _roll((totals[c] < 0).astype(bits_dtype), e)
         else:
-            bits_ref[...] = (totals[...] < 0).astype(jnp.int8)
+            bits_ref[...] = (totals[...] < 0).astype(bits_dtype)
         # per-CB parity flag computed in VMEM (one extra E-roll sweep —
         # ~1 iteration of cost) instead of the former XLA gather epilogue,
         # which dominated the whole decode at large Z
-        bad = jnp.zeros((sb, Z), jnp.int32)
-        for ri, (r, es) in enumerate(rows_edges):
-            syn = jnp.zeros((sb, Z), jnp.int32)
-            for d, (c, s) in enumerate(es):
-                b = (totals[c] < 0).astype(jnp.int32)
-                off = (int(entry_shift[c]) - s) % Z
-                syn = syn ^ (jnp.roll(b, off, axis=-1) if off else b)
-            bad = bad | syn
-        ok_ref[...] = jnp.broadcast_to(
-            (jnp.sum(bad, axis=-1, keepdims=True) == 0).astype(jnp.int8), (sb, Z))
+        if int_path:
+            bad = jnp.zeros((sb, Z), jnp.int32)
+            for ri, (r, es) in enumerate(rows_edges):
+                syn = jnp.zeros((sb, Z), jnp.int32)
+                for d, (c, s) in enumerate(es):
+                    b = (totals[c] < 0).astype(jnp.int32)
+                    off = (int(entry_shift[c]) - s) % Z
+                    syn = syn ^ _roll(b, off)
+                bad = bad | syn
+            n_bad = jnp.sum(bad, axis=-1, keepdims=True)
+        else:
+            good = jnp.full((sb, Z), 1, acc_dtype)
+            for ri, (r, es) in enumerate(rows_edges):
+                syn = jnp.full((sb, Z), 1, acc_dtype)
+                for d, (c, s) in enumerate(es):
+                    off = (int(entry_shift[c]) - s) % Z
+                    syn = syn * _roll(_sign(totals[c]), off)
+                good = jnp.minimum(good, syn)
+            n_bad = jnp.sum((good < 0).astype(jnp.float32), axis=-1,
+                            keepdims=True)
+        ok_ref[...] = jnp.broadcast_to((n_bad == 0).astype(jnp.int8), (sb, Z))
 
     def run(llr8):
         """llr8: (C, n_groups*sb, Z) acc_dtype -> (bits (C, B, Z) int8,
@@ -242,7 +306,7 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                 pl.BlockSpec((sb, Z), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct(llr8.shape, jnp.int8),
+                jax.ShapeDtypeStruct(llr8.shape, bits_dtype),
                 jax.ShapeDtypeStruct((llr8.shape[1], Z), jnp.int8),
             ],
             scratch_shapes=[
@@ -266,6 +330,7 @@ def decode_pallas(
     check_every: int = 0,   # in-kernel early stop (experimental: interpret-
                             # mode verified; current Mosaic rejects the
                             # predicated-iteration form on hardware)
+    debug_noroll: bool = False,
 ):
     """Pallas-kernel decode: (B, cols*Z) LLRs -> (bits (B, K) int8, ok (B,)).
 
@@ -275,11 +340,16 @@ def decode_pallas(
     """
     B = llr.shape[0]
     Z, C = graph.Z, graph.cols
-    run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha, schedule, sb, msg_dtype, check_every)
+    run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha, schedule, sb,
+                            msg_dtype, check_every, debug_noroll)
     Bp = -(-B // sb) * sb
     if msg_dtype == jnp.int8:
         from ..phy.llr import quantize
         x = quantize(llr.astype(jnp.float32), bits=8).astype(jnp.int32)
+    elif msg_dtype == jnp.bfloat16:
+        # clip so layered totals stay within bf16's near-exact small-int
+        # range (same spirit as the reference's int8 saturation)
+        x = jnp.clip(llr.astype(jnp.float32), -24.0, 24.0).astype(jnp.bfloat16)
     else:
         x = llr.astype(jnp.float32)
     x = x.reshape(B, C, Z)
@@ -287,6 +357,7 @@ def decode_pallas(
         x = jnp.concatenate([x, jnp.zeros((Bp - B, C, Z), x.dtype)], axis=0)
     x = x.transpose(1, 0, 2)                      # (C, Bp, Z)
     bits_cbz, ok_bz = run(x)
+    bits_cbz = bits_cbz.astype(jnp.int8)   # no-op except bf16 path
     bits = bits_cbz.transpose(1, 0, 2)[:B].reshape(B, C * Z)
     ok = ok_bz[:B, 0] != 0                        # flag replicated on lanes
     return bits[:, : g.K], ok

@@ -66,6 +66,26 @@ def test_pusch_transform_precoding():
     tb, out = run_chain(cfg, snr_db=10.0)
     assert bool(out["tb_ok"].all())
     np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+    # DFT-s-OFDM DMRS is the low-PAPR sequence (constant modulus), not
+    # Gold QPSK (TS 38.211 6.4.1.1.1.2)
+    pil = np.asarray(cfg.dmrs_pilot(cfg.dmrs_symbols[0]))
+    assert np.allclose(np.abs(pil), 1.0, atol=1e-5)
+    gold = np.asarray(PuschConfig(mu=1, n_prb=24, mcs=9).dmrs_pilot(2))
+    assert not np.allclose(pil, gold)
+
+
+def test_pusch_transform_precoding_seq_hopping():
+    """Sequence hopping (v) active for a 24-PRB DFT-s allocation: slots
+    pick different v and the chain still decodes."""
+    from openairinterface5g_tpu.phy.hopping import group_sequence_uv
+    vs = {group_sequence_uv(7, "disable", s, 0, m_zc=6 * 24)[1]
+          for s in range(16)}
+    assert vs == {0, 1}
+    cfg = PuschConfig(mu=1, n_prb=24, mcs=9, n_layers=1, n_rx=1,
+                      transform_precoding=True, group_seq_hopping="disable",
+                      slot=3, n_id=7)
+    tb, out = run_chain(cfg, snr_db=10.0)
+    assert bool(out["tb_ok"].all())
 
 
 def test_pusch_mimo4x4():
@@ -138,6 +158,55 @@ def test_uci_csi_rate_matched_on_pusch():
     np.testing.assert_array_equal(np.asarray(out["uci"]["csi1"]), np.asarray(c1))
     np.testing.assert_array_equal(np.asarray(out["uci"]["csi2"]), np.asarray(c2))
     assert bool(np.asarray(out["uci"]["csi2_ok"]).all())
+
+
+def test_uci_ack_punctures_csi2():
+    """<=2 ACK bits (puncture mode) + large CSI part 2: the ACK candidate
+    REs may collide with CSI2 REs; per 38.212 6.2.7 the ACK punctures CSI
+    part 2 there and everything still decodes (advisor round-1 repro:
+    n_prb=8, n_ack=2, n_csi1=6, n_csi2=32 used to crash _build_map)."""
+    from openairinterface5g_tpu.models.uci_on_pusch import (
+        UciOnPuschConfig, _build_map)
+    from openairinterface5g_tpu.sim.channel import add_noise
+    import jax as _jax
+
+    cfg = PuschConfig(mu=1, n_prb=8, mcs=9)
+    ucfg = UciOnPuschConfig(n_ack_bits=2, n_csi1_bits=6, n_csi2_bits=32)
+    maps = _build_map(cfg, ucfg)   # must not raise
+    ack_res, _, c2_res = maps[0], maps[1], maps[2]
+    rng = np.random.default_rng(13)
+    B = 4
+    tb = jnp.asarray(rng.integers(0, 2, (B, cfg.tbs)).astype(np.int8))
+    ack = jnp.asarray(rng.integers(0, 2, (B, 2)).astype(np.int8))
+    c1 = jnp.asarray(rng.integers(0, 2, (B, 6)).astype(np.int8))
+    c2 = jnp.asarray(rng.integers(0, 2, (B, 32)).astype(np.int8))
+    tx, _ = pusch_tx(cfg, tb, uci_cfg=ucfg, ack_bits=ack, csi1_bits=c1,
+                     csi2_bits=c2)
+    sig = float(np.mean(np.abs(np.asarray(tx)) ** 2))
+    rx = add_noise(_jax.random.PRNGKey(3),
+                   tx, sig * 10 ** (-10.0 / 10) * (cfg.fp.fft_size / cfg.fp.n_sc))
+    out = pusch_rx(cfg, rx, n_iters=15, uci_cfg=ucfg)
+    assert bool(out["tb_ok"].all())
+    np.testing.assert_array_equal(np.asarray(out["ack_bits"]), np.asarray(ack))
+    np.testing.assert_array_equal(np.asarray(out["uci"]["csi1"]), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(out["uci"]["csi2"]), np.asarray(c2))
+
+
+def test_small_block_conf_flags_dtx():
+    """uci_decode's ok flag for <=11-bit payloads is correlation-based:
+    true on a clean codeword, false on pure noise (DTX)."""
+    from openairinterface5g_tpu.models.pucch import uci_encode, uci_decode
+
+    rng = np.random.default_rng(5)
+    bits = jnp.asarray(rng.integers(0, 2, (4, 4)).astype(np.int8))
+    cw = uci_encode(4, 64, bits)
+    llr = 8.0 * (1.0 - 2.0 * cw.astype(jnp.float32))
+    dec, ok = uci_decode(4, 64, llr)
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(bits))
+    assert bool(np.asarray(ok).all())
+    noise = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    _, ok_dtx = uci_decode(4, 64, noise)
+    assert not bool(np.asarray(ok_dtx).any())
 
 
 def test_ptrs_phase_tracking_recovers_cpe():
