@@ -14,7 +14,9 @@
 
 #include <arpa/inet.h>
 #include <cerrno>
+#include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <condition_variable>
 #include <deque>
@@ -97,6 +99,19 @@ struct RxQueue {
   }
 };
 
+// Channel model applied inside the hub on received IQ (the rfsimulator
+// apply_channelmod / rfsimu_setchanmod_cmd analog, radio/rfsimulator/
+// apply_channelmod.c): static complex FIR per antenna + AWGN, settable
+// at runtime from Python (the reference sets it via telnet).
+struct ChannelState {
+  std::mutex mu;
+  std::vector<float> taps;   // n_taps complex, interleaved re/im
+  std::vector<float> hist;   // (n_taps-1) samples per antenna, interleaved
+  float noise_sigma = 0.0f;  // per-component AWGN std dev
+  uint64_t rng = 0x9E3779B97F4A7C15ull;
+  bool enabled = false;
+};
+
 struct Endpoint {
   int fd = -1;
   int listen_fd = -1;
@@ -106,6 +121,7 @@ struct Endpoint {
   std::vector<float> pending;  // interleaved, n_ant*2 floats per sample
   int64_t pending_ts = 0;       // timestamp of pending[0]
   uint32_t n_ant = 1;
+  ChannelState chan;
 
   ~Endpoint() {
     if (fd >= 0) ::shutdown(fd, SHUT_RDWR);
@@ -116,6 +132,60 @@ struct Endpoint {
   }
 };
 
+inline float gauss(uint64_t* s) {
+  // xorshift64* -> Box-Muller (one component per call, cheap + adequate
+  // for a test channel; the reference uses gaussdouble() similarly)
+  auto next = [&]() {
+    *s ^= *s >> 12; *s ^= *s << 25; *s ^= *s >> 27;
+    return (*s * 0x2545F4914F6CDD1Dull >> 11) * (1.0 / 9007199254740992.0);
+  };
+  double u1 = next(), u2 = next();
+  if (u1 < 1e-12) u1 = 1e-12;
+  return static_cast<float>(std::sqrt(-2.0 * std::log(u1)) *
+                            std::cos(2.0 * M_PI * u2));
+}
+
+void apply_channel(Endpoint* ep, Frame* f) {
+  std::lock_guard<std::mutex> lk(ep->chan.mu);
+  if (!ep->chan.enabled) return;
+  const size_t n_taps = ep->chan.taps.size() / 2;
+  const uint32_t A = f->n_ant;
+  const size_t n = f->iq.size() / (A * 2);
+  if (ep->chan.hist.size() != (n_taps - 1) * A * 2)
+    ep->chan.hist.assign((n_taps - 1) * A * 2, 0.0f);
+  std::vector<float> out(f->iq.size());
+  for (uint32_t a = 0; a < A; ++a) {
+    for (size_t i = 0; i < n; ++i) {
+      float yr = 0.0f, yi = 0.0f;
+      for (size_t k = 0; k < n_taps; ++k) {
+        float xr, xi;
+        if (i >= k) {
+          xr = f->iq[((i - k) * A + a) * 2];
+          xi = f->iq[((i - k) * A + a) * 2 + 1];
+        } else {  // reach into history (previous frame tail)
+          size_t h = (n_taps - 1) - (k - i);
+          xr = ep->chan.hist[(h * A + a) * 2];
+          xi = ep->chan.hist[(h * A + a) * 2 + 1];
+        }
+        const float tr = ep->chan.taps[k * 2], ti = ep->chan.taps[k * 2 + 1];
+        yr += tr * xr - ti * xi;
+        yi += tr * xi + ti * xr;
+      }
+      out[(i * A + a) * 2] = yr + ep->chan.noise_sigma * gauss(&ep->chan.rng);
+      out[(i * A + a) * 2 + 1] = yi + ep->chan.noise_sigma * gauss(&ep->chan.rng);
+    }
+  }
+  // save tail as history for the next frame
+  for (size_t h = 0; h < n_taps - 1; ++h) {
+    size_t i = n >= (n_taps - 1) ? n - (n_taps - 1) + h : h;
+    for (uint32_t a = 0; a < A; ++a) {
+      ep->chan.hist[(h * A + a) * 2] = f->iq[(i * A + a) * 2];
+      ep->chan.hist[(h * A + a) * 2 + 1] = f->iq[(i * A + a) * 2 + 1];
+    }
+  }
+  f->iq.swap(out);
+}
+
 void reader_loop(Endpoint* ep) {
   for (;;) {
     FrameHeader h;
@@ -125,6 +195,7 @@ void reader_loop(Endpoint* ep) {
     f.n_ant = h.n_ant;
     f.iq.resize(static_cast<size_t>(h.n_samples) * h.n_ant * 2);
     if (!read_exact(ep->fd, f.iq.data(), f.iq.size() * sizeof(float))) break;
+    apply_channel(ep, &f);
     ep->rx.push(std::move(f));
   }
   ep->rx.close();
@@ -258,6 +329,26 @@ int rfsim_read(void* handle, int64_t timestamp, float* iq, uint32_t n_samples) {
       ep->rx.cv.wait_for(lk, std::chrono::milliseconds(100));
     }
   }
+}
+
+// rfsimu_setchanmod_cmd analog: set (or clear with n_taps=0) the FIR
+// channel + AWGN applied to this endpoint's RECEIVED samples.
+// taps: n_taps complex float32 interleaved re/im.
+int rfsim_set_channel(void* handle, const float* taps, uint32_t n_taps,
+                      float noise_sigma) {
+  auto* ep = static_cast<Endpoint*>(handle);
+  std::lock_guard<std::mutex> lk(ep->chan.mu);
+  if (n_taps == 0) {
+    ep->chan.enabled = false;
+    ep->chan.taps.clear();
+    ep->chan.hist.clear();
+    return 0;
+  }
+  ep->chan.taps.assign(taps, taps + static_cast<size_t>(n_taps) * 2);
+  ep->chan.hist.assign((static_cast<size_t>(n_taps) - 1) * ep->n_ant * 2, 0.0f);
+  ep->chan.noise_sigma = noise_sigma;
+  ep->chan.enabled = true;
+  return 0;
 }
 
 void rfsim_close(void* handle) {

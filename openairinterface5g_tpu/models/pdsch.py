@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import dataclasses
 
-from .pusch import PuschConfig, pusch_rx, pusch_tx
+from .pusch import (PuschConfig, pusch_channel_estimate,
+                    pusch_decode_codeword, pusch_equalize, pusch_llrs,
+                    pusch_rx, pusch_tx, pusch_tx_grid)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,3 +41,78 @@ def pdsch_rx(cfg: PdschConfig, rx_samples, rv: int = 0, n_iters: int = 20,
     """UE-side PDSCH RX: channel est + MRC/MMSE + LLR + LDPC decode."""
     return pusch_rx(cfg, rx_samples, rv=rv, n_iters=n_iters,
                     harq_buffers=harq_buffers)
+
+
+# --------------------------------------------------------------------------
+# Two-codeword PDSCH (5..8 layers, TS 38.211 §7.3.1.2 / 38.212 §7.2.1)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Pdsch2CwConfig:
+    """2-codeword PDSCH: cw0 on the first ceil(L/2) layers, cw1 on the
+    rest (layer-mapping Table 7.3.1.3-1); scrambling q = 0 / 1; DMRS
+    type 1 double-symbol (maxLength=2) ports 0..L-1; joint MMSE/ZF over
+    all L layers at the UE.  Reference anchor: the NrOfCodewords=2
+    structures of nfapi_nr_interface_scf.h + nr_dlsch.c TX loop."""
+    mu: int = 1
+    n_prb: int = 24
+    mcs0: int = 9
+    mcs1: int = 9
+    n_layers: int = 6            # 5..8
+    n_rx: int = 8
+    dmrs_symbols: tuple = (2, 3)  # consecutive pair(s), maxLength=2
+    rnti: int = 0x1234
+    n_id: int = 0
+    slot: int = 0
+    decoder_backend: str = "xla"
+
+    @property
+    def l0(self) -> int:
+        return -(-self.n_layers // 2)
+
+    def cw_cfgs(self) -> tuple[PdschConfig, PdschConfig]:
+        assert 5 <= self.n_layers <= 8, "2-codeword PDSCH is 5..8 layers"
+        common = dict(mu=self.mu, n_prb=self.n_prb, n_rx=self.n_rx,
+                      dmrs_symbols=self.dmrs_symbols, dmrs_max_len=2,
+                      rnti=self.rnti, n_id=self.n_id, slot=self.slot,
+                      decoder_backend=self.decoder_backend)
+        cw0 = PdschConfig(mcs=self.mcs0, n_layers=self.l0, dmrs_port0=0,
+                          scrambling_q=0, **common)
+        cw1 = PdschConfig(mcs=self.mcs1, n_layers=self.n_layers - self.l0,
+                          dmrs_port0=self.l0, scrambling_q=1, **common)
+        return cw0, cw1
+
+
+def pdsch2cw_tx(cfg: Pdsch2CwConfig, tb0, tb1, rv: int = 0):
+    """(B, TBS0), (B, TBS1) -> (B, n_layers, samples)."""
+    from ..phy.ofdm import map_to_grid, ofdm_modulate
+    import jax.numpy as jnp
+
+    c0, c1 = cfg.cw_cfgs()
+    g0, _ = pusch_tx_grid(c0, tb0, rv)        # (B, L0, sym, n_sc)
+    g1, _ = pusch_tx_grid(c1, tb1, rv)
+    grid_re = jnp.concatenate([g0, g1], axis=1)
+    fp = c0.fp
+    return ofdm_modulate(fp, map_to_grid(fp, grid_re), cfg.slot)
+
+
+def pdsch2cw_rx(cfg: Pdsch2CwConfig, rx_samples, rv: int = 0,
+                n_iters: int = 20):
+    """(B, n_rx, samples) -> (out_cw0, out_cw1) decode dicts.
+
+    One joint channel estimate over all L DMRS ports and one joint
+    MMSE/ZF solve; per-codeword LLR/descramble (q=0/1) + LDPC decode."""
+    from ..phy.ofdm import extract_from_grid, ofdm_demodulate
+
+    c0, c1 = cfg.cw_cfgs()
+    fp = c0.fp
+    grid = ofdm_demodulate(fp, rx_samples, cfg.slot)
+    re_grid = extract_from_grid(fp, grid)
+    h_est, nvar = pusch_channel_estimate(c0, re_grid, n_ports=cfg.n_layers)
+    x, mag = pusch_equalize(c0, re_grid, h_est, nvar)
+    L0 = cfg.l0
+    outs = []
+    for c, sl in ((c0, slice(0, L0)), (c1, slice(L0, cfg.n_layers))):
+        llr_cw = pusch_llrs(c, re_grid, x[:, sl], mag[:, sl], h_est)
+        outs.append(pusch_decode_codeword(c, llr_cw, rv=rv, n_iters=n_iters))
+    return tuple(outs)

@@ -60,6 +60,13 @@ class PuschConfig:
     ptrs_k: int = 2                  # K_PTRS: one SC every K PRBs
     ptrs_l: int = 1                  # L_PTRS time density (1/2/4)
     ptrs_re_offset: int = 0
+    dmrs_max_len: int = 1            # 2 = double-symbol DMRS (ports 0..7);
+                                     # dmrs_symbols then lists consecutive pairs
+    dmrs_port0: int = 0              # first DMRS port (2nd codeword offset)
+    scrambling_q: int = 0            # codeword index q (38.211 6.3.1.1/7.3.1.1)
+    tbs_lbrm: int | None = None      # LBRM reference TBS (38.212 5.4.2.1):
+                                     # limits the circular buffer to
+                                     # Ncb = min(N, floor(TBS_LBRM/(C*2/3)))
 
     @property
     def bwp_prbs(self) -> int:
@@ -149,6 +156,19 @@ class PuschConfig:
         bg = segmentation.base_graph_select(A, r)
         return segmentation.segment_params(A + L, bg), crc_name
 
+    def ncb(self) -> int | None:
+        """Limited circular-buffer size (LBRM, TS 38.212 §5.4.2.1) or None.
+
+        N_ref = floor(TBS_LBRM / (C * R_LBRM)), R_LBRM = 2/3, rounded down
+        to a multiple of Z so k0 stays Z-aligned (reference
+        nr_rate_matching.c computes the same N_cb)."""
+        if self.tbs_lbrm is None:
+            return None
+        p, _ = self.seg_params()
+        n_ref = (3 * self.tbs_lbrm) // (2 * p.C)
+        n_full = (66 if p.bg == 1 else 50) * p.Z
+        return min(n_full, (n_ref // p.Z) * p.Z)
+
     def dmrs_pilot(self, symbol: int) -> jnp.ndarray:
         """(6*n_prb,) DMRS pilot sequence for a DMRS symbol.
 
@@ -206,7 +226,7 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
     es = cfg.cb_e_sizes(g_data)
     parts = []
     for j, E in enumerate(es):
-        e = rate_matching.rate_match_tx(g, cw[:, j], rv, E, p.F)
+        e = rate_matching.rate_match_tx(g, cw[:, j], rv, E, p.F, ncb=cfg.ncb())
         f = rate_matching.interleave_tx(e, qm)
         parts.append(f)
     codeword = jnp.concatenate(parts, axis=-1)          # (B, G_data)
@@ -214,7 +234,7 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
         from .uci_on_pusch import mux_uci_bits
         codeword = mux_uci_bits(cfg, uci_cfg, codeword, ack_bits=ack_bits,
                                 csi1_bits=csi1_bits, csi2_bits=csi2_bits)
-    cinit = pusch_cinit(cfg.rnti, 0, cfg.n_id)
+    cinit = pusch_cinit(cfg.rnti, cfg.scrambling_q, cfg.n_id)
     scrambled = scramble(codeword, cinit)
     syms = mod.modulate(scrambled, qm)                  # (B, G/qm)
     if cfg.transform_precoding:
@@ -247,15 +267,22 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
             grid_re = grid_re.at[:, :, s, a0: a0 + m_per_sym].set(
                 layers[..., i * m_per_sym: (i + 1) * m_per_sym])
 
-    # DMRS insertion (type 1, single symbol, ports 0..L-1); low-PAPR
+    # DMRS insertion (type 1, ports dmrs_port0..+L-1); double-symbol DMRS
+    # (maxLength=2) adds the time OCC wt over each symbol pair; low-PAPR
     # sequence instead of Gold QPSK when transform precoding
-    for s in cfg.dmrs_symbols:
+    for si, s in enumerate(cfg.dmrs_symbols):
         pil = cfg.dmrs_pilot(s)
-        for port in range(cfg.n_layers):
-            wf, delta = refsig.dmrs_type1_port_weights(port)
+        for lay in range(cfg.n_layers):
+            port = cfg.dmrs_port0 + lay
+            if cfg.dmrs_max_len == 2:
+                wf, wt, delta = refsig.dmrs_type1_port_weights_double(port)
+                tw = complex(wt[si % 2])
+            else:
+                wf, delta = refsig.dmrs_type1_port_weights(port)
+                tw = 1.0
             sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta) + a0
             w = jnp.asarray(np.tile(wf, 3 * cfg.n_prb), dtype=jnp.complex64)
-            grid_re = grid_re.at[:, port, s, jnp.asarray(sc)].set(pil * w)
+            grid_re = grid_re.at[:, lay, s, jnp.asarray(sc)].set(pil * w * tw)
 
     return grid_re, scrambled
 
@@ -294,30 +321,45 @@ def pusch_rx(cfg: PuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
                          harq_buffers=harq_buffers, uci_cfg=uci_cfg)
 
 
-def pusch_frontend(cfg: PuschConfig, re_grid: jnp.ndarray) -> jnp.ndarray:
-    """RE grid (batch, n_rx, symbols, n_sc_bwp) -> descrambled codeword
-    LLRs (B, G): channel estimation, MRC/MMSE equalization, PTRS phase
-    tracking, LLR computation, descrambling.  The 'inner_rx' stage of the
-    reference (nr_ulsch_demodulation.c:1262) as one fused XLA program."""
-    qm, _ = cfg.qm_rate
-    B = re_grid.shape[0]
+def pusch_channel_estimate(cfg: PuschConfig, re_grid: jnp.ndarray,
+                           n_ports: int | None = None):
+    """LS channel estimation at the DMRS REs -> ((B, R, P, M) h, (B,) nvar).
+
+    LS per DMRS symbol, averaged over symbols (block fading), CDM-
+    separated per port (freq OCC; time OCC too when dmrs_max_len == 2),
+    then frequency smoothing (the filt16a interpolation-LUT analog) and
+    comb-2 interpolation.  n_ports overrides the estimated port count
+    (e.g. joint estimation across two codewords' layers)."""
     m_per_sym = 12 * cfg.n_prb
     a0 = cfg.sc0
-
-    # --- channel estimation: LS per DMRS symbol, averaged over symbols
-    # (block fading), CDM-separated per port, then frequency smoothing
-    # (the filt16a interpolation-LUT analog) and comb-2 interpolation
+    P = cfg.n_layers if n_ports is None else n_ports
+    double = cfg.dmrs_max_len == 2
+    # symbol groups: pairs for double-symbol DMRS, singletons otherwise
+    if double:
+        assert len(cfg.dmrs_symbols) % 2 == 0, "double DMRS needs symbol pairs"
+        groups = [tuple(cfg.dmrs_symbols[i: i + 2])
+                  for i in range(0, len(cfg.dmrs_symbols), 2)]
+    else:
+        groups = [(s,) for s in cfg.dmrs_symbols]
     h_layers = []
     nvars = []
-    for port in range(cfg.n_layers):
-        wf, delta = refsig.dmrs_type1_port_weights(port)
+    for port in range(cfg.dmrs_port0, cfg.dmrs_port0 + P):
+        if double:
+            wf, wt, delta = refsig.dmrs_type1_port_weights_double(port)
+        else:
+            wf, delta = refsig.dmrs_type1_port_weights(port)
+            wt = np.array([1.0], np.float32)
         sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta) + a0
         hp_syms = []
-        for s in cfg.dmrs_symbols:
-            pil = cfg.dmrs_pilot(s)
-            yp = re_grid[:, :, s, :][..., jnp.asarray(sc)]   # (B, R, P)
-            ls = ce.ls_estimate(yp, pil)
-            if cfg.n_layers > 1:
+        for grp in groups:
+            # time-OCC despread across the symbol group
+            ls_t = []
+            for li, s in enumerate(grp):
+                pil = cfg.dmrs_pilot(s)
+                yp = re_grid[:, :, s, :][..., jnp.asarray(sc)]   # (B, R, P)
+                ls_t.append(ce.ls_estimate(yp, pil) * wt[li])
+            ls = sum(ls_t) / len(ls_t)
+            if P > 1 or double:
                 # CDM separation: average pilot pairs with the port's OCC
                 w = jnp.asarray(np.tile(wf, 3 * cfg.n_prb), dtype=jnp.complex64)
                 ls = ls * jnp.conj(w)
@@ -339,14 +381,22 @@ def pusch_frontend(cfg: PuschConfig, re_grid: jnp.ndarray) -> jnp.ndarray:
             hp = ce.freq_average(hp, window=cfg.chest_window)
         h = ce.comb2_interpolate(hp, m_per_sym, delta)
         h_layers.append(h)
-    h_est = jnp.stack(h_layers, axis=2)  # (B, R, L, m_per_sym)
+    h_est = jnp.stack(h_layers, axis=2)  # (B, R, P, m_per_sym)
     nvar = jnp.mean(jnp.stack(nvars), axis=0).mean(axis=-1)  # (B,)
+    return h_est, nvar
 
-    # --- equalize data symbols
+
+def pusch_equalize(cfg: PuschConfig, re_grid: jnp.ndarray, h_est, nvar):
+    """Equalize the data symbols with the estimated channel:
+    -> (x (B, P, S, M) compensated, mag) over ALL estimated ports."""
+    B = re_grid.shape[0]
+    m_per_sym = 12 * cfg.n_prb
+    a0 = cfg.sc0
     data_syms = list(cfg.data_symbols)
     y = re_grid[:, :, jnp.asarray(data_syms), a0: a0 + m_per_sym]
     h = h_est
-    if cfg.n_layers == 1:
+    n_ports = h_est.shape[2]
+    if n_ports == 1:
         x, mag = _mrc_over_syms(h[:, :, 0, :], y)
         if cfg.transform_precoding:
             from ..phy.transform_precoding import idft_despread
@@ -360,6 +410,27 @@ def pusch_frontend(cfg: PuschConfig, re_grid: jnp.ndarray) -> jnp.ndarray:
         mag = mag[:, None]
     else:
         x, mag = _mmse_over_syms(h, y, nvar)
+    return x, mag
+
+
+def pusch_frontend(cfg: PuschConfig, re_grid: jnp.ndarray) -> jnp.ndarray:
+    """RE grid (batch, n_rx, symbols, n_sc_bwp) -> descrambled codeword
+    LLRs (B, G): channel estimation, MRC/MMSE equalization, PTRS phase
+    tracking, LLR computation, descrambling.  The 'inner_rx' stage of the
+    reference (nr_ulsch_demodulation.c:1262) as one fused XLA program."""
+    h_est, nvar = pusch_channel_estimate(cfg, re_grid)
+    x, mag = pusch_equalize(cfg, re_grid, h_est, nvar)
+    return pusch_llrs(cfg, re_grid, x, mag, h_est)
+
+
+def pusch_llrs(cfg: PuschConfig, re_grid: jnp.ndarray, x, mag,
+               h_est=None) -> jnp.ndarray:
+    """Compensated symbols (B, L, S, M) for THIS codeword's layers ->
+    descrambled codeword LLRs (B, G) (PTRS tracking + LLR + descramble)."""
+    qm, _ = cfg.qm_rate
+    B = re_grid.shape[0]
+    m_per_sym = 12 * cfg.n_prb
+    a0 = cfg.sc0
     # back to codeword order: (B, L, S, M) -> LLRs -> layer demap
     if cfg.ptrs:
         # common-phase-error tracking from PTRS REs
@@ -395,7 +466,7 @@ def pusch_frontend(cfg: PuschConfig, re_grid: jnp.ndarray) -> jnp.ndarray:
     # qm-bit groups across layers to restore codeword order
     llr_sym = llrs.reshape(B, cfg.n_layers, -1, qm)
     llr_cw = llr_sym.swapaxes(1, 2).reshape(B, -1)
-    cinit = pusch_cinit(cfg.rnti, 0, cfg.n_id)
+    cinit = pusch_cinit(cfg.rnti, cfg.scrambling_q, cfg.n_id)
     llr_cw = scramble_llrs(llr_cw, cinit)
     if cfg.llr_quant_bits:
         llr_cw = llr_mod.quantize(llr_cw, bits=cfg.llr_quant_bits)
@@ -405,10 +476,18 @@ def pusch_frontend(cfg: PuschConfig, re_grid: jnp.ndarray) -> jnp.ndarray:
 def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
                   n_iters: int = 20, harq_buffers=None, uci_cfg=None):
     """RX from a (batch, n_rx, symbols, n_sc_bwp) resource-element grid."""
+    llr_cw = pusch_frontend(cfg, re_grid)
+    return pusch_decode_codeword(cfg, llr_cw, rv=rv, n_iters=n_iters,
+                                 harq_buffers=harq_buffers, uci_cfg=uci_cfg)
+
+
+def pusch_decode_codeword(cfg: PuschConfig, llr_cw: jnp.ndarray, rv: int = 0,
+                          n_iters: int = 20, harq_buffers=None, uci_cfg=None):
+    """Descrambled codeword LLRs (B, G) -> decoded TB dict (UCI demux +
+    rate recovery + batched LDPC decode + CRC)."""
     p, crc_name = cfg.seg_params()
     qm, _ = cfg.qm_rate
-    B = re_grid.shape[0]
-    llr_cw = pusch_frontend(cfg, re_grid)
+    B = llr_cw.shape[0]
 
     ack_bits_out = None
     uci_out = None
@@ -428,7 +507,8 @@ def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
     g = ldpc.build_graph(p.bg, p.Z)
     es = cfg.cb_e_sizes(g_data)
     stacked = rate_matching.fused_rate_match_rx(
-        g, llr_cw, rv, tuple(es), qm, p.F, harq_buffer=harq_buffers)
+        g, llr_cw, rv, tuple(es), qm, p.F, harq_buffer=harq_buffers,
+        ncb=cfg.ncb())
     new_harq = stacked                                  # (B, C, cols*Z)
     from ..coding.backend import decoder as ldpc_decoder
     bits_all, ok_all = ldpc_decoder(cfg.decoder_backend)(

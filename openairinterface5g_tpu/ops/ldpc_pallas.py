@@ -314,7 +314,148 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                 pltpu.VMEM((C, sb, Z), acc_dtype),
                 pltpu.SMEM((1,), jnp.int32),
             ],
+            # messages + totals + I/O blocks + spill stack exceed the 16MB
+            # default scoped-vmem budget at Z=384; v5e VMEM is larger
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(llr8)
+
+    return run, graph
+
+
+@functools.lru_cache(maxsize=32)
+def _build_decoder_bf16(bg: int, Z: int, n_iters: int, alpha: float,
+                        sb: int = 32, check_every: int = 0):
+    """bf16 sign-magnitude layered decoder.
+
+    This libtpu's Mosaic rejects EVERY 16-bit mask op (select / compare-
+    cast / copysign) but supports bf16 arithmetic (abs/min/max/add/mul/
+    roll) and uint16 bitwise ops.  So the kernel runs the min-sum purely
+    in that algebra — the same trick as the reference's AVX2 epi8 kernels
+    (nrLDPC_cnProc.h: sign via XOR of sign bits, magnitude via unsigned
+    min):
+
+      * |v| and sign bit via bitcast + AND (bf16 is sign-magnitude)
+      * per-edge excluded-min via prefix/suffix min arrays (no eq+select)
+      * c2v sign = XOR of row sign bits ^ own sign, applied by XOR onto
+        the magnitude word
+      * hard bits = bf16 soft totals output, thresholded in XLA
+      * parity flag via uint16 XOR syndrome, OR-accumulated, lane-reduced
+        with the (bad|0x3f80) -> ±1.0 bitcast trick + bf16 min
+
+    Half the vector registers and VMEM of the f32 path -> sb=32 fits,
+    doubling per-instruction work (the kernel is issue-bound, not
+    roll-bound: docs/PERF.md round-2 measurements).
+    """
+    graph = build_graph(bg, Z)
+    rows_edges = _edges(graph)
+    C = graph.cols
+    E = sum(len(es) for _, es in rows_edges)
+    edge_base = np.cumsum([0] + [len(es) for _, es in rows_edges])
+    entry_shift = np.zeros(C, dtype=np.int64)
+    for _, es in rows_edges:
+        for c, s in es:
+            entry_shift[c] = s % Z
+
+    import ml_dtypes
+    bf = jnp.bfloat16
+    alpha_bf = ml_dtypes.bfloat16(alpha)
+    big = ml_dtypes.bfloat16(3e38)
+    SGN = np.uint16(0x8000)
+    MAG = np.uint16(0x7FFF)
+    ONE = np.uint16(0x3F80)  # 1.0 in bf16
+
+    def _roll(x, s):
+        return jnp.roll(x, s, axis=-1) if s % Z else x
+
+    def kernel(llr_ref, soft_ref, ok_ref, c2v, totals):
+        c2v[...] = jnp.zeros((E, sb, Z), bf)
+        for c in range(C):
+            totals[c] = _roll(llr_ref[c], -int(entry_shift[c]))
+
+        def layered_iter(_, carry):
+            cur = {c: int(entry_shift[c]) for c in range(C)}
+            for ri, (r, es) in enumerate(rows_edges):
+                base = int(edge_base[ri])
+                d_row = len(es)
+                tloc, old, sgn_b, mags = [], [], [], []
+                sgn_all = None
+                for d, (c, s) in enumerate(es):
+                    delta = (cur[c] - s) % Z
+                    t = _roll(totals[c], delta)
+                    cur[c] = s % Z
+                    o = c2v[base + d]
+                    v = t - o
+                    w = pltpu.bitcast(v, jnp.uint16)
+                    sb_d = w & SGN
+                    a = pltpu.bitcast(w & MAG, bf)
+                    tloc.append(t)
+                    old.append(o)
+                    sgn_b.append(sb_d)
+                    mags.append(a)
+                    sgn_all = sb_d if sgn_all is None else (sgn_all ^ sb_d)
+                # excluded min via prefix/suffix sweeps (all bf16 mins)
+                pre = [None] * d_row
+                suf = [None] * d_row
+                acc = jnp.full((sb, Z), big, bf)
+                for d in range(d_row):
+                    pre[d] = acc
+                    acc = jnp.minimum(acc, mags[d])
+                acc = jnp.full((sb, Z), big, bf)
+                for d in range(d_row - 1, -1, -1):
+                    suf[d] = acc
+                    acc = jnp.minimum(acc, mags[d])
+                for d, (c, s) in enumerate(es):
+                    excl = jnp.minimum(pre[d], suf[d])
+                    mag = excl * alpha_bf
+                    sgn = sgn_all ^ sgn_b[d]
+                    val = pltpu.bitcast(pltpu.bitcast(mag, jnp.uint16) ^ sgn, bf)
+                    totals[c] = tloc[d] + (val - old[d])
+                    c2v[base + d] = val
+            return carry
+
+        jax.lax.fori_loop(0, n_iters, layered_iter, 0)
+
+        # soft output in natural orientation (hard decision done in XLA)
+        for c in range(C):
+            soft_ref[c] = _roll(totals[c], int(entry_shift[c]))
+        # parity: per-row XOR of rotated sign words, OR across rows,
+        # then 'any lane set' via the (|0x3f80)->±1.0 min-reduce trick
+        bad = jnp.zeros((sb, Z), jnp.uint16)
+        for ri, (r, es) in enumerate(rows_edges):
+            syn = jnp.zeros((sb, Z), jnp.uint16)
+            for d, (c, s) in enumerate(es):
+                w = pltpu.bitcast(totals[c], jnp.uint16) & SGN
+                syn = syn ^ _roll(w, (int(entry_shift[c]) - s) % Z)
+            bad = bad | syn
+        flag = pltpu.bitcast(bad | ONE, bf)          # +1.0 ok / -1.0 bad
+        ok_ref[...] = jnp.broadcast_to(
+            jnp.min(flag, axis=-1, keepdims=True), (sb, Z))
+
+    def run(llr_bf):
+        n_groups = llr_bf.shape[1] // sb
+        return pl.pallas_call(
+            kernel,
+            grid=(n_groups,),
+            in_specs=[pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sb, Z), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(llr_bf.shape, bf),
+                jax.ShapeDtypeStruct((llr_bf.shape[1], Z), bf),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((E, sb, Z), bf),
+                pltpu.VMEM((C, sb, Z), bf),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(llr_bf)
 
     return run, graph
 
@@ -325,7 +466,7 @@ def decode_pallas(
     n_iters: int = 8,
     alpha: float = 0.8125,
     schedule: str = "layered",
-    sb: int = 16,
+    sb: int | None = None,   # CB-group sublanes; default 16 (f32) / 32 (bf16)
     msg_dtype=jnp.float32,
     check_every: int = 0,   # in-kernel early stop (experimental: interpret-
                             # mode verified; current Mosaic rejects the
@@ -340,6 +481,22 @@ def decode_pallas(
     """
     B = llr.shape[0]
     Z, C = graph.Z, graph.cols
+    if msg_dtype == jnp.bfloat16 and schedule == "layered":
+        # dedicated sign-magnitude bitwise kernel (see _build_decoder_bf16)
+        sb = 32 if sb is None else sb  # half-width tiles: 2x sublanes fit
+        run, g = _build_decoder_bf16(graph.bg, graph.Z, n_iters, alpha, sb,
+                                     check_every)
+        Bp = -(-B // sb) * sb
+        x = jnp.clip(llr.astype(jnp.float32), -24.0, 24.0).astype(jnp.bfloat16)
+        x = x.reshape(B, C, Z)
+        if Bp != B:
+            x = jnp.concatenate([x, jnp.zeros((Bp - B, C, Z), x.dtype)], axis=0)
+        x = x.transpose(1, 0, 2)
+        soft_cbz, ok_bz = run(x)
+        bits = (soft_cbz.transpose(1, 0, 2)[:B].reshape(B, C * Z) < 0)
+        ok = ok_bz[:B, 0].astype(jnp.float32) > 0
+        return bits[:, : g.K].astype(jnp.int8), ok
+    sb = 16 if sb is None else sb
     run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha, schedule, sb,
                             msg_dtype, check_every, debug_noroll)
     Bp = -(-B // sb) * sb

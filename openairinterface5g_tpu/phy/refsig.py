@@ -52,6 +52,17 @@ def dmrs_type1_port_weights(port: int) -> tuple[np.ndarray, int]:
     return np.array([1.0, alt], dtype=np.float32), delta
 
 
+def dmrs_type1_port_weights_double(port: int):
+    """(wf (2,), wt (2,), delta) for ports 0..7, double-symbol type 1 DMRS
+    (maxLength=2).  TS 38.211 Table 6.4.1.1.3-1: ports 0-3 as the
+    single-symbol table with wt=(+1,+1); ports 4-7 repeat the freq
+    pattern with time OCC wt=(+1,-1) across the symbol pair."""
+    base = port % 4
+    wf, delta = dmrs_type1_port_weights(base)
+    wt = np.array([1.0, 1.0 if port < 4 else -1.0], dtype=np.float32)
+    return wf, wt, delta
+
+
 def pss_sequence(n_id2: int) -> np.ndarray:
     """TS 38.211 §7.4.2.2: 127-length BPSK m-sequence (host constant)."""
     x = np.zeros(127, dtype=np.int64)

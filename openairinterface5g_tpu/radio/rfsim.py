@@ -39,6 +39,10 @@ def _load():
     lib.rfsim_read.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                ctypes.POINTER(ctypes.c_float), ctypes.c_uint32]
     lib.rfsim_close.argtypes = [ctypes.c_void_p]
+    lib.rfsim_set_channel.restype = ctypes.c_int
+    lib.rfsim_set_channel.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_float),
+                                      ctypes.c_uint32, ctypes.c_float]
     lib.rfsim_record.restype = ctypes.c_int
     lib.rfsim_record.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
                                  ctypes.c_uint64]
@@ -94,6 +98,24 @@ class RfSimDevice:
         if rc != 0:
             raise OSError("rfsim_read: peer closed before data available")
         return buf.T.copy()
+
+    def set_channel(self, taps: np.ndarray | None,
+                    noise_sigma: float = 0.0) -> None:
+        """Apply a channel model to RECEIVED samples inside the native hub
+        (the rfsimulator `rfsimu_setchanmod_cmd` telnet-command analog,
+        radio/rfsimulator/apply_channelmod.c): static complex FIR `taps`
+        + AWGN with per-component std `noise_sigma`.  taps=None clears."""
+        lib = _load()
+        if taps is None:
+            rc = lib.rfsim_set_channel(self._h, None, 0, 0.0)
+        else:
+            t = np.ascontiguousarray(np.atleast_1d(taps).astype(np.complex64))
+            f = t.view(np.float32)
+            rc = lib.rfsim_set_channel(
+                self._h, f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                t.size, float(noise_sigma))
+        if rc != 0:
+            raise OSError("rfsim_set_channel failed")
 
     def close(self):
         if self._h:

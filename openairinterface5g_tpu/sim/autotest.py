@@ -48,6 +48,69 @@ CASES = [
 ]
 
 
+def _gpp(mu, prb, n_rx, snr, iters=7, mcs=20, layers=1, chan="TDLA", ds="10"):
+    """One nr_ulsim.3gpp conformance point (test_case_list.xml:427-489):
+    MCS20 (or the MIMO variants), TDL channel, 2 HARQ rounds, >=70% eff
+    throughput at the listed SNR."""
+    argv = ["-m", str(mcs), "-R", str(prb), "-u", str(mu), "-y", str(n_rx),
+            "-g", chan, "--delay-spread", ds, "-M", "2", "-I", str(iters),
+            "-s", str(snr), "-n", "64", "-t", "70", "-D", "1",
+            "--chest-window", "16"]
+    if layers > 1:
+        argv += ["-W", str(layers)]
+    return argv
+
+
+# The reference CI's full nr_ulsim.3gpp matrix (28 points) + nr_ulsim.mimo.
+# Same numerology/PRB/RX/SNR operating points; pass gate identical
+# ("PUSCH test OK" at eff TP >= 70%).
+CONFORMANCE_CASES = [
+    ("3gpp-01-A5-13-40MHz-2rx", _gpp(1, 106, 2, 12.4)),
+    ("3gpp-02-A5-13-40MHz-4rx", _gpp(1, 106, 4, 8.5)),
+    ("3gpp-03-A5-13-40MHz-8rx", _gpp(1, 106, 8, 5.4)),
+    ("3gpp-04-A5-8-5MHz-2rx", _gpp(0, 25, 2, 12.5)),
+    ("3gpp-05-A5-8-5MHz-4rx", _gpp(0, 25, 4, 8.9)),
+    ("3gpp-06-A5-8-5MHz-8rx", _gpp(0, 25, 8, 5.7)),
+    ("3gpp-07-A5-9-10MHz-2rx", _gpp(0, 52, 2, 12.6)),
+    ("3gpp-08-A5-9-10MHz-4rx", _gpp(0, 52, 4, 8.9)),
+    ("3gpp-09-A5-9-10MHz-8rx", _gpp(0, 52, 8, 5.8)),
+    ("3gpp-10-A5-10-20MHz-2rx", _gpp(0, 106, 2, 12.3)),
+    ("3gpp-11-A5-10-20MHz-4rx", _gpp(0, 106, 4, 8.8)),
+    ("3gpp-12-A5-10-20MHz-8rx", _gpp(0, 106, 8, 5.7)),
+    ("3gpp-13-A5-11-10MHz-2rx", _gpp(1, 24, 2, 12.5)),
+    ("3gpp-14-A5-11-10MHz-4rx", _gpp(1, 24, 4, 8.6)),
+    ("3gpp-15-A5-11-10MHz-8rx", _gpp(1, 24, 8, 5.6)),
+    ("3gpp-16-A5-12-20MHz-2rx", _gpp(1, 51, 2, 12.5)),
+    ("3gpp-17-A5-12-20MHz-4rx", _gpp(1, 51, 4, 8.6)),
+    ("3gpp-18-A5-12-20MHz-8rx", _gpp(1, 51, 8, 5.6)),
+    ("3gpp-19-A5-13-40MHz-2rx", _gpp(1, 106, 2, 12.5)),
+    ("3gpp-20-A5-13-40MHz-4rx", _gpp(1, 106, 4, 8.7)),
+    ("3gpp-21-A5-13-40MHz-8rx", _gpp(1, 106, 8, 5.5)),
+    ("3gpp-22-A5-14-100MHz-2rx", _gpp(1, 273, 2, 13.1)),
+    ("3gpp-23-A5-14-100MHz-4rx", _gpp(1, 273, 4, 9.2)),
+    ("3gpp-24-A5-14-100MHz-8rx", _gpp(1, 273, 8, 5.9, iters=8)),
+    ("3gpp-25-A3-27-2layer-2rx", _gpp(1, 106, 2, 1.7, iters=15, mcs=2,
+                                      layers=2, chan="TDLB", ds="30")),
+    ("3gpp-26-A3-27-2layer-4rx", _gpp(1, 106, 4, -2.1, iters=15, mcs=2,
+                                      layers=2, chan="TDLB", ds="30")),
+    ("3gpp-27-A4-27-2layer-2rx", _gpp(1, 106, 2, 18.7, iters=15, mcs=16,
+                                      layers=2, chan="TDLC", ds="30")),
+    ("3gpp-28-A4-27-2layer-4rx", _gpp(1, 106, 4, 11.2, iters=15, mcs=16,
+                                      layers=2, chan="TDLC", ds="30")),
+    # nr_ulsim.mimo matrix (test_case_list.xml:409-425), AWGN
+    ("mimo-1-mcs19-50prb-2rx", ["-m", "19", "-R", "50", "-y", "2", "-s", "15",
+                                "-n", "64", "-t", "99"]),
+    ("mimo-2-mcs9-2layer", ["-m", "9", "-R", "106", "-W", "2", "-y", "2",
+                            "-s", "8", "-n", "64", "-t", "85"]),
+    ("mimo-3-mcs10-2layer", ["-m", "10", "-R", "106", "-W", "2", "-y", "2",
+                             "-s", "12", "-n", "64", "-t", "99"]),
+    ("mimo-4-mcs19-2layer", ["-m", "19", "-R", "106", "-W", "2", "-y", "2",
+                             "-s", "22", "-n", "64", "-t", "99"]),
+    ("mimo-5-mcs9-4layer", ["-m", "9", "-R", "106", "-W", "4", "-y", "4",
+                            "-s", "10", "-n", "64", "-t", "85"]),
+]
+
+
 def run_case(module: str, argv: list[str]) -> str:
     import importlib
 

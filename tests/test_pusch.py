@@ -241,3 +241,20 @@ def test_ptrs_phase_tracking_recovers_cpe():
 
     assert run(True), "PTRS receiver must correct the CPE"
     assert not run(False), "sanity: without PTRS this CPE breaks decoding"
+
+
+def test_pusch_lbrm_roundtrip():
+    """LBRM (tbs_lbrm) limits the circular buffer: Ncb < 66Z, decode still
+    clean at good SNR, and selection indices stay below Ncb (38.212
+    5.4.2.1)."""
+    from openairinterface5g_tpu.coding.rate_matching import selection_indices
+    cfg = PuschConfig(mu=1, n_prb=24, mcs=9, tbs_lbrm=5000)
+    p, _ = cfg.seg_params()
+    ncb = cfg.ncb()
+    assert ncb is not None and ncb < 66 * p.Z
+    sel = selection_indices(p.bg, p.Z, p.K // p.Z, 0, cfg.cb_e_sizes()[0],
+                            p.F, ncb)
+    assert sel.max() < ncb
+    tb, out = run_chain(cfg, snr_db=12.0)
+    assert bool(out["tb_ok"].all())
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)

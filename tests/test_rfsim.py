@@ -86,3 +86,41 @@ def test_iq_record_replay(tmp_path):
     record_iq(p, iq)
     back = replay_iq(p, 777)
     np.testing.assert_allclose(back, iq)
+
+
+def test_native_channel_model():
+    """Channel model applied inside the native hub (rfsimu_setchanmod
+    analog): a 2-tap FIR convolves the stream across frame boundaries."""
+    import threading
+    import numpy as np
+    from openairinterface5g_tpu.radio.rfsim import RfSimDevice
+
+    port = 17893
+    res = {}
+    chan_set = threading.Event()   # configure before the client transmits
+                                   # (runtime re-config applies from the
+                                   # next frame, as in the reference)
+
+    def server():
+        dev = RfSimDevice.listen(port, n_ant=1)
+        taps = np.array([1.0 + 0j, 0.5j], np.complex64)
+        dev.set_channel(taps, noise_sigma=0.0)
+        chan_set.set()
+        res["rx"] = dev.read(0, 8)[0]
+        dev.close()
+
+    t = threading.Thread(target=server)
+    t.start()
+    cli = RfSimDevice.connect("127.0.0.1", port, n_ant=1)
+    assert chan_set.wait(timeout=10)
+    x = np.arange(1, 5).astype(np.complex64)
+    cli.write(0, x[:2])     # three frames: FIR state must carry across
+    cli.write(2, x[2:])
+    cli.write(4, np.zeros(4, np.complex64))
+    t.join(timeout=10)
+    cli.close()
+    assert not t.is_alive()
+    got = res["rx"]
+    exp = np.convolve(np.concatenate([x, np.zeros(4, np.complex64)]),
+                      np.array([1.0, 0.5j]), mode="full")[:8]
+    np.testing.assert_allclose(got, exp.astype(np.complex64), atol=1e-5)
