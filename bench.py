@@ -5,6 +5,14 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the real-time requirement of 2000 slots/s at
 30 kHz SCS (BASELINE.md north star; the reference publishes no absolute
 slots/s — real-time on commodity x86 is its operating point).
+
+Methodology (docs/PERF.md): the axon tunnel elides repeated identical
+executions AND adds ~40 ms of host roundtrip per dispatch/fetch, so the
+timed region is ONE jitted lax.scan over n_rep DISTINCT device-resident
+slot batches whose per-step results fold into a single scalar (a data
+dependency that forces every step to execute), fetched once.  This
+measures device throughput — what a production deployment with local
+dispatch sees — not tunnel latency.
 """
 from __future__ import annotations
 
@@ -28,16 +36,19 @@ def main():
 
     from openairinterface5g_tpu.models.pusch import PuschConfig, pusch_rx, pusch_tx
 
+    # decoder_first_iters=4: parity early-stop (nrLDPC_decoder.c:554 analog)
+    # — the full 8-iteration pass runs only when a CB fails parity after 4
     cfg = PuschConfig(mu=1, n_prb=273, mcs=16, n_layers=2, n_rx=2,
-                      decoder_backend="pallas")
-    B = 4  # slots per dispatch
+                      decoder_backend="pallas", decoder_first_iters=4)
+    B = 4   # slots per step
+    n_rep = 16
 
     rng = np.random.default_rng(0)
     tb = jnp.asarray(rng.integers(0, 2, size=(B, cfg.tbs)).astype(np.int8))
 
     # complex IQ never crosses the host boundary (axon backend limitation):
     # the TX waveform + channel + noise are built inside one jitted fn and
-    # the device-resident rx array feeds the separately-timed RX step.
+    # the device-resident rx arrays feed the separately-timed RX scan.
     @jax.jit
     def make_rx(t, key):
         tx, _ = pusch_tx(cfg, t)
@@ -45,24 +56,30 @@ def main():
                         + 1j * jax.random.normal(jax.random.fold_in(key, 1), tx.shape))
         return tx + 0.1 * tx[:, ::-1, :] + noise.astype(jnp.complex64)
 
-    # STRICT methodology: the tunnel elides repeated identical executions,
-    # so every timed repetition gets a distinct input; block on all results.
-    n_rep = 24
-    rxs = [jax.block_until_ready(make_rx(tb, jax.random.PRNGKey(i)))
-           for i in range(n_rep)]
+    def stack_rx(i0):
+        return jnp.stack([make_rx(tb, jax.random.PRNGKey(i0 + i))
+                          for i in range(n_rep)])
 
-    step = jax.jit(lambda r: pusch_rx(cfg, r, n_iters=8)["tb_ok"])
-    ok = jax.block_until_ready(step(rxs[0]))  # compile
-    assert bool(np.asarray(ok).all()), "bench config must decode cleanly"
+    @jax.jit
+    def rx_all(rxs):
+        def body(c, r):
+            ok = pusch_rx(cfg, r, n_iters=8)["tb_ok"]
+            return c + jnp.sum(ok.astype(jnp.int32)), ()
+        c, _ = jax.lax.scan(body, jnp.int32(0), rxs)
+        return c
 
-    # drain via host fetch: on the axon backend block_until_ready returns
-    # before execution completes, so fetching each (tiny bool) result is
-    # the only sound completion barrier
+    # warm set: compile + correctness check (every TB must decode)
+    warm = jax.block_until_ready(stack_rx(0))
+    n_ok = int(np.asarray(rx_all(warm)))
+    assert n_ok == B * n_rep, f"bench config must decode cleanly ({n_ok})"
+
+    # timed set: DISTINCT inputs so the tunnel cannot elide re-execution;
+    # single host fetch of the folded scalar is the completion barrier
+    timed = jax.block_until_ready(stack_rx(n_rep))
     t0 = time.perf_counter()
-    outs = [step(rxs[i]) for i in range(n_rep)]
-    fetched = [np.asarray(o) for o in outs]
+    n_ok = int(np.asarray(rx_all(timed)))
     dt = time.perf_counter() - t0
-    assert all(f.all() for f in fetched)
+    assert n_ok == B * n_rep
     slots_per_s = B * n_rep / dt
 
     print(json.dumps({

@@ -28,9 +28,24 @@ def _decode_xla(graph, llr, n_iters=12, **kw):
 
 
 def _decode_pallas(graph, llr, n_iters=8, **kw):
-    return ldpc_pallas.decode_pallas(
-        graph, llr, n_iters=n_iters,
-        schedule=kw.get("schedule", "layered"), sb=kw.get("sb", 8))
+    dec = lambda it: ldpc_pallas.decode_pallas(
+        graph, llr, n_iters=it,
+        schedule=kw.get("schedule", "layered"), sb=kw.get("sb", 8),
+        check_every=kw.get("check_every", 0))
+    first = kw.get("first_iters", 0)
+    if not first or first >= n_iters:
+        return dec(n_iters)
+    # two-phase early termination at the XLA level (CRC/parity early-stop
+    # analog of nrLDPC_decoder.c:554 when in-kernel check_every is off):
+    # a short decode pass, then the full-iteration pass ONLY if any CB
+    # still fails parity — lax.cond skips the second kernel entirely at
+    # operating SNR where min-sum converges in 2-4 iterations.
+    import jax
+    import jax.numpy as jnp
+    bits1, ok1 = dec(first)
+    return jax.lax.cond(jnp.all(ok1),
+                        lambda: (bits1, ok1),
+                        lambda: dec(n_iters))
 
 
 _BACKENDS: dict[str, Callable] = {

@@ -53,6 +53,11 @@ class PuschConfig:
     prb_start: int = 0               # allocation offset within the BWP
     n_bwp_prb: int | None = None     # carrier/BWP width (defaults to n_prb)
     decoder_backend: str = "xla"     # 'xla' | 'pallas' (coding/backend.py)
+    decoder_first_iters: int = 0     # >0: two-phase early-stop decode — try
+                                     # this many iters, run full n_iters only
+                                     # if any CB fails parity (backend.py)
+    decoder_check_every: int = 0     # >0: in-kernel parity early exit every
+                                     # N iterations (ops/ldpc_pallas.py)
     llr_quant_bits: int = 0          # 0 = float; 8 = int8 reference parity
     chest_window: int = 8            # pilot smoothing window (filt16a analog)
     chest_mode: str = "window"       # 'window' | 'delay' (delay-domain denoise)
@@ -512,7 +517,9 @@ def pusch_decode_codeword(cfg: PuschConfig, llr_cw: jnp.ndarray, rv: int = 0,
     new_harq = stacked                                  # (B, C, cols*Z)
     from ..coding.backend import decoder as ldpc_decoder
     bits_all, ok_all = ldpc_decoder(cfg.decoder_backend)(
-        g, stacked.reshape(B * p.C, -1), n_iters=n_iters)
+        g, stacked.reshape(B * p.C, -1), n_iters=n_iters,
+        first_iters=cfg.decoder_first_iters,
+        check_every=cfg.decoder_check_every)
     cbs = bits_all.reshape(B, p.C, -1)                  # (B, C, K)
     cb_ok = ok_all.reshape(B, p.C)
     tb_with_crc = segmentation.desegment_tb(cbs, p)

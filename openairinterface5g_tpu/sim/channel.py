@@ -50,11 +50,33 @@ TDL_PROFILES = {
 }
 
 
+# LOS (Rician) models TDL-D/E: the first tap has a deterministic specular
+# component (TS 38.901 Tables 7.7.2-4/5 split tap 1 into a LOS path and a
+# Rayleigh subtap at the same delay).  Stored as (los_power_db, nlos_rows).
+LOS_COMPONENT = {
+    "TDLD": -0.2,
+    "TDLE": -0.03,
+}
+
+TDL_PROFILES["TDLD"] = (
+    np.array([0.0000, 0.0350, 0.6120, 1.3630, 1.4050, 1.8040, 2.5960,
+              1.7750, 4.0420, 7.9370, 9.4240, 9.7080, 12.5250]),
+    np.array([-13.5, -18.8, -21.0, -22.8, -17.9, -20.1, -21.9, -22.9,
+              -27.8, -23.6, -24.8, -30.0, -27.7]),
+)
+TDL_PROFILES["TDLE"] = (
+    np.array([0.0000, 0.5133, 0.5440, 0.5630, 0.5440, 0.7112, 1.9092,
+              1.9293, 1.9589, 2.6426, 3.7136, 5.4524, 12.0034, 20.6419]),
+    np.array([-22.03, -15.8, -18.1, -19.8, -22.9, -22.4, -18.6, -21.2,
+              -22.8, -22.9, -25.9, -28.6, -29.8, -30.0]),
+)
+
+
 @dataclasses.dataclass(frozen=True)
 class ChannelModel:
     """Static channel description (new_channel_desc_scm analog)."""
 
-    name: str               # 'AWGN' | 'TDLA' | 'TDLB' | 'TDLC'
+    name: str               # 'AWGN' | 'TDLA'..'TDLE' | 'EPA'|'EVA'|'ETU'
     n_tx: int
     n_rx: int
     sample_rate: float
@@ -67,11 +89,26 @@ class ChannelModel:
         return np.round(d_ns * self.delay_spread_ns * 1e-9 * self.sample_rate).astype(np.int64)
 
     def tap_powers(self) -> np.ndarray:
+        """NLOS (Rayleigh) tap powers, normalized so NLOS + LOS sums to 1."""
         if self.name == "AWGN":
             return np.ones(1)
         _, p_db = TDL_PROFILES[self.name]
         p = 10 ** (p_db / 10)
-        return p / p.sum()
+        return p / (p.sum() + self.los_power())
+
+    def los_power(self) -> float:
+        """Linear power of the deterministic specular component (0 if NLOS),
+        in the same un-normalized scale as 10**(p_db/10) of the taps."""
+        if self.name not in LOS_COMPONENT:
+            return 0.0
+        return float(10 ** (LOS_COMPONENT[self.name] / 10))
+
+    def los_power_normalized(self) -> float:
+        if self.name not in LOS_COMPONENT:
+            return 0.0
+        _, p_db = TDL_PROFILES[self.name]
+        p = 10 ** (p_db / 10)
+        return self.los_power() / (p.sum() + self.los_power())
 
 
 def apply_channel(
@@ -101,6 +138,15 @@ def apply_channel(
     shape = (*lead, model.n_rx, model.n_tx, len(delays))
     g = (jax.random.normal(kr, shape) + 1j * jax.random.normal(ki, shape)) / np.sqrt(2)
     g = g * jnp.asarray(np.sqrt(powers), dtype=g.dtype)
+    p_los = model.los_power_normalized()
+    if p_los > 0.0:
+        # Rician first tap: deterministic specular component with a random
+        # phase per antenna pair (TS 38.901 7.7.2-4/5 LOS path)
+        kphi = jax.random.fold_in(key, 2)
+        phi = jax.random.uniform(kphi, (*lead, model.n_rx, model.n_tx),
+                                 minval=0.0, maxval=2 * np.pi)
+        los = np.sqrt(p_los) * jnp.exp(1j * phi)
+        g = g.at[..., 0].add(los.astype(g.dtype))
     # scatter taps into a dense FIR of length L
     h = jnp.zeros((*lead, model.n_rx, model.n_tx, L), dtype=jnp.complex64)
     h = h.at[..., jnp.asarray(delays)].add(g.astype(jnp.complex64))

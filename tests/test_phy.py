@@ -81,3 +81,24 @@ def test_frame_params_known_values():
     # and 2 slots exactly fill a 1 ms subframe
     assert fp.samples_per_slot(0) == fp.samples_per_slot(1) == 61440
     assert fp.samples_per_subframe == int(fp.sample_rate / 1000)
+
+
+def test_tdl_los_models_power_normalized():
+    """TDL-D/E Rician models: specular + Rayleigh tap power sums to ~1."""
+    import jax
+    from openairinterface5g_tpu.sim.channel import ChannelModel, apply_channel
+
+    for name in ("TDLD", "TDLE"):
+        m = ChannelModel(name, 1, 2, 61.44e6, delay_spread_ns=100)
+        assert m.los_power_normalized() > 0.5  # K-factor makes LOS dominant
+        tx = jnp.ones((16, 1, 2048), jnp.complex64)
+        rx, h = apply_channel(m, jax.random.PRNGKey(0), tx)
+        pw = float(np.mean(np.sum(np.abs(np.asarray(h)) ** 2, axis=-1)))
+        assert 0.8 < pw < 1.2, (name, pw)
+        assert rx.shape == (16, 2, 2048)
+
+
+def test_smallblocktest_sim():
+    from openairinterface5g_tpu.sim.smallblocktest import main
+
+    assert main(["-k", "6", "-s", "2", "-n", "128"]) == 0
