@@ -150,11 +150,46 @@ def fused_rx_gather_layers(bg: int, Z: int, kc: int, rv: int, es: tuple,
     return layers
 
 
+@functools.lru_cache(maxsize=256)
+def _rx_runs(bg: int, Z: int, kc: int, rv: int, E: int, F: int,
+             ncb: int | None = None) -> tuple:
+    """Contiguous runs (e_start, d_start, length) of the bit-selection map.
+
+    The circular-buffer selection is piecewise-contiguous — breaks occur
+    only at the filler window, the buffer wrap, and repetition restarts —
+    so de-rate-matching is a handful of dense slice-adds instead of an
+    E-element gather (TPU gathers serialize; slices run at HBM bandwidth).
+    """
+    sel = selection_indices(bg, Z, kc, rv, E, F, ncb)
+    runs = []
+    s = 0
+    for i in range(1, E + 1):
+        if i == E or sel[i] != sel[i - 1] + 1:
+            runs.append((s, int(sel[s]), i - s))
+            s = i
+    return tuple(runs)
+
+
+def _cb_groups(es: tuple) -> list:
+    """Contiguous groups of identical per-CB rate-matched size E."""
+    groups = []
+    j0 = 0
+    for j in range(1, len(es) + 1):
+        if j == len(es) or es[j] != es[j0]:
+            groups.append((j0, j, es[j0]))
+            j0 = j
+    return groups
+
+
 def fused_rate_match_rx(graph, llr_cw, rv: int, es: tuple, qm: int, F: int,
                         harq_buffer=None, filler_llr: float = 1e4,
                         ncb: int | None = None):
-    """(B, G) codeword LLRs -> (B, C, cols*Z) mother-code LLRs via L
-    gathers (L = repetition multiplicity, normally 1).
+    """(B, G) codeword LLRs -> (B, C, cols*Z) mother-code LLRs.
+
+    Fuses per-CB deinterleave (a dense (E/qm, qm) transpose) with circular-
+    buffer recovery done as run-wise static slice-adds (_rx_runs) — zero
+    gathers, one HBM pass.  CBs sharing the same E (all but gamma of them,
+    TS 38.212 §5.4.2.1) are processed as one (B, Cg, E) tensor.
 
     harq_buffer: optional (B, C, cols*Z) previous-round buffer to combine.
     """
@@ -162,13 +197,13 @@ def fused_rate_match_rx(graph, llr_cw, rv: int, es: tuple, qm: int, F: int,
     B = llr_cw.shape[0]
     C = len(es)
     N = g.N
-    layers = fused_rx_gather_layers(g.bg, g.Z, g.kc, rv, tuple(es), qm, F, ncb)
-    pad = jnp.concatenate(
-        [llr_cw, jnp.zeros((B, 1), llr_cw.dtype)], axis=-1)
-    d = pad[:, jnp.asarray(layers[0])]
-    for layer in layers[1:]:
-        d = d + pad[:, jnp.asarray(layer)]
-    d = d.reshape(B, C, N)
+    offs = np.concatenate([[0], np.cumsum(es)])
+    d = jnp.zeros((B, C, N), llr_cw.dtype)
+    for (j0, j1, E) in _cb_groups(tuple(es)):
+        seg = llr_cw[:, offs[j0]: offs[j1]].reshape(B, j1 - j0, E)
+        seg = deinterleave_rx(seg, qm)
+        for (e0, d0, ln) in _rx_runs(g.bg, g.Z, g.kc, rv, E, F, ncb):
+            d = d.at[:, j0:j1, d0: d0 + ln].add(seg[:, :, e0: e0 + ln])
     if F:
         K = g.K
         filler = jnp.zeros((N,), llr_cw.dtype).at[K - 2 * g.Z - F: K - 2 * g.Z].set(filler_llr)
@@ -177,3 +212,23 @@ def fused_rate_match_rx(graph, llr_cw, rv: int, es: tuple, qm: int, F: int,
     if harq_buffer is not None:
         full = full + harq_buffer
     return full
+
+
+def fused_rate_match_tx(graph, codeword_cbs, rv: int, es: tuple, qm: int,
+                        F: int, ncb: int | None = None):
+    """(B, C, cols*Z) mother codewords -> (B, G) interleaved codeword bits.
+
+    TX twin of fused_rate_match_rx: run-wise slice concatenation replaces
+    the per-CB index gather of rate_match_tx + interleave_tx.
+    """
+    g = graph
+    B = codeword_cbs.shape[0]
+    d = codeword_cbs[..., 2 * g.Z:]                     # drop punctured head
+    parts = []
+    for (j0, j1, E) in _cb_groups(tuple(es)):
+        seg = jnp.concatenate(
+            [d[:, j0:j1, d0: d0 + ln]
+             for (_, d0, ln) in _rx_runs(g.bg, g.Z, g.kc, rv, E, F, ncb)],
+            axis=-1)                                    # (B, Cg, E)
+        parts.append(interleave_tx(seg, qm).reshape(B, -1))
+    return jnp.concatenate(parts, axis=-1)

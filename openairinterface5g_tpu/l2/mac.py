@@ -1,0 +1,237 @@
+"""gNB MAC scheduler: proportional-fair DL/UL scheduling + HARQ + RA.
+
+Compact functional analog of openair2/LAYER2/NR_MAC_gNB:
+  - gNB_dlsch_ulsch_scheduler (gNB_scheduler.c:191) per-slot entry
+  - PF time/frequency scheduling (gNB_scheduler_dlsch.c pf_dl /
+    gNB_scheduler_ulsch.c pf_ul): metric = achievable rate / average
+    throughput, PRB allocation by metric order
+  - CQI -> MCS mapping, link adaptation with BLER target stepping
+  - HARQ process pool per UE (8 processes, rv sequence
+    nr_rv_round_map = {0,2,3,1}, gNB_scheduler.c:56)
+  - RA procedure skeleton: msg2 scheduling after RACH.indication
+    (nr_schedule_RA analog)
+
+The scheduler emits FAPI-shaped requests (fapi/messages.py), so it can
+drive the PHY directly (models/gnb.py) or across the PNF/VNF UDP split
+(fapi/transport.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from ..fapi import messages as fapi
+from ..transport import mcs_to_qm_rate
+
+HARQ_RV_SEQ = (0, 2, 3, 1)
+N_HARQ = 8
+
+# CQI index (4-bit, table 5.2.2.1-2 38.214) -> MCS (table 1) working points
+_CQI_TO_MCS = [0, 0, 0, 2, 4, 6, 8, 11, 13, 15, 18, 20, 22, 24, 26, 28]
+
+
+@dataclasses.dataclass
+class HarqProcess:
+    active: bool = False
+    round: int = 0
+    tbs: int = 0
+    mcs: int = 0
+    prbs: tuple = (0, 0)          # (start, size)
+    payload: bytes = b""
+
+    @property
+    def rv(self) -> int:
+        return HARQ_RV_SEQ[self.round % 4]
+
+
+@dataclasses.dataclass
+class UeMacState:
+    rnti: int
+    cqi: int = 9
+    dl_buffer: int = 0            # bytes queued for DL
+    ul_buffer: int = 0            # bytes reported via BSR
+    avg_thr_dl: float = 1.0       # PF average throughput (bytes/slot, EWMA)
+    avg_thr_ul: float = 1.0
+    dl_harq: list = dataclasses.field(
+        default_factory=lambda: [HarqProcess() for _ in range(N_HARQ)])
+    ul_harq: list = dataclasses.field(
+        default_factory=lambda: [HarqProcess() for _ in range(N_HARQ)])
+    bler_ewma: float = 0.0
+    mcs_offset: int = 0           # link adaptation backoff
+
+    def free_harq(self, pool) -> Optional[int]:
+        for i, h in enumerate(pool):
+            if not h.active:
+                return i
+        return None
+
+
+def cqi_to_mcs(cqi: int, offset: int = 0) -> int:
+    mcs = _CQI_TO_MCS[max(0, min(15, cqi))] + offset
+    return max(0, min(28, mcs))
+
+
+def tbs_bytes(mcs: int, n_prb: int, n_symbols: int = 13,
+              n_layers: int = 1) -> int:
+    """Approximate TBS in bytes for scheduling decisions (the MAC's
+    nr_compute_tbs wrapper role — the PHY recomputes the exact TBS)."""
+    from ..transport import compute_tbs
+    qm, r = mcs_to_qm_rate(mcs, 1)
+    return compute_tbs(qm, r * 1024, n_prb, n_symbols, 12, 0, n_layers) // 8
+
+
+@dataclasses.dataclass
+class SchedulerConfig:
+    n_bwp_prb: int = 106
+    mu: int = 1
+    n_dl_symbols: int = 13
+    n_ul_symbols: int = 13
+    pf_alpha: float = 0.01        # EWMA forgetting factor
+    target_bler: float = 0.1
+    min_prb: int = 4              # smallest allocation
+
+
+class MacScheduler:
+    """PF MAC scheduler over a fixed UE set (gNB_dlsch_ulsch_scheduler)."""
+
+    def __init__(self, cfg: SchedulerConfig):
+        self.cfg = cfg
+        self.ues: dict[int, UeMacState] = {}
+        self.ra_queue: list[tuple[int, int]] = []   # (preamble, ta)
+
+    def add_ue(self, rnti: int, **kw) -> UeMacState:
+        ue = UeMacState(rnti=rnti, **kw)
+        self.ues[rnti] = ue
+        return ue
+
+    # ---- indication handlers (NR_UL_indication analog) ----
+
+    def on_crc(self, ind: fapi.CrcIndication, ul: bool = True):
+        for handle, rnti, harq_id, ok in ind.crcs:
+            ue = self.ues.get(rnti)
+            if ue is None:
+                continue
+            pool = ue.ul_harq if ul else ue.dl_harq
+            h = pool[harq_id]
+            ue.bler_ewma = (1 - 0.05) * ue.bler_ewma + 0.05 * (0.0 if ok else 1.0)
+            if ok:
+                if ul and h.active:
+                    ue.ul_buffer = max(0, ue.ul_buffer - h.tbs)
+                h.active = False
+                h.round = 0
+            else:
+                h.round += 1
+                if h.round >= 4:       # max rounds: drop (RLC retransmits)
+                    h.active = False
+                    h.round = 0
+            # link adaptation: back off MCS if BLER above target
+            if ue.bler_ewma > self.cfg.target_bler * 1.5:
+                ue.mcs_offset = max(-6, ue.mcs_offset - 1)
+                ue.bler_ewma = self.cfg.target_bler
+            elif ue.bler_ewma < self.cfg.target_bler * 0.3:
+                ue.mcs_offset = min(2, ue.mcs_offset + 1)
+                ue.bler_ewma = self.cfg.target_bler * 0.75
+
+    def on_uci_cqi(self, rnti: int, cqi: int):
+        if rnti in self.ues:
+            self.ues[rnti].cqi = cqi
+
+    def on_rach(self, ind: fapi.RachIndication):
+        for idx, ta, _pw in ind.preambles:
+            self.ra_queue.append((idx, ta))
+
+    def on_bsr(self, rnti: int, n_bytes: int):
+        if rnti in self.ues:
+            self.ues[rnti].ul_buffer = n_bytes
+
+    # ---- per-slot scheduling ----
+
+    def _pf_allocate(self, cands: list[UeMacState], dl: bool):
+        """PF metric ordering + greedy PRB split (pf_dl/pf_ul analog).
+
+        Returns [(ue, prb_start, prb_size, mcs)].
+        """
+        cfg = self.cfg
+        scored = []
+        for ue in cands:
+            mcs = cqi_to_mcs(ue.cqi, ue.mcs_offset)
+            rate = tbs_bytes(mcs, cfg.n_bwp_prb,
+                             cfg.n_dl_symbols if dl else cfg.n_ul_symbols)
+            avg = ue.avg_thr_dl if dl else ue.avg_thr_ul
+            scored.append((rate / max(avg, 1e-6), ue, mcs))
+        scored.sort(key=lambda t: -t[0])
+        # greedy: split PRBs proportionally to remaining buffer, metric order
+        out = []
+        prb_next = 0
+        for rank, (_, ue, mcs) in enumerate(scored):
+            if prb_next >= cfg.n_bwp_prb:
+                break
+            buf = ue.dl_buffer if dl else ue.ul_buffer
+            per_prb = max(1, tbs_bytes(mcs, cfg.n_bwp_prb) // cfg.n_bwp_prb)
+            want = max(cfg.min_prb, -(-buf // per_prb))
+            # leave min_prb headroom for each remaining candidate so one
+            # full-buffer UE can't starve the slot (pf_dl's remainUEs logic)
+            reserve = cfg.min_prb * (len(scored) - rank - 1)
+            size = min(want, max(cfg.min_prb, cfg.n_bwp_prb - prb_next - reserve))
+            size = min(size, cfg.n_bwp_prb - prb_next)
+            out.append((ue, prb_next, size, mcs))
+            prb_next += size
+        return out
+
+    def schedule_slot(self, sfn: int, slot: int):
+        """-> (DlTtiRequest, UlTtiRequest, TxDataRequest) for this slot."""
+        cfg = self.cfg
+        a = cfg.pf_alpha
+
+        dl_pdus, payloads = [], []
+        # DL retransmissions first (existing active HARQ with round>0)
+        for ue in self.ues.values():
+            for hid, h in enumerate(ue.dl_harq):
+                if h.active and h.round > 0:
+                    dl_pdus.append(fapi.PdschPdu(
+                        rnti=ue.rnti, pdu_index=len(dl_pdus), mcs=h.mcs,
+                        rb_start=h.prbs[0], rb_size=h.prbs[1],
+                        nr_of_symbols=cfg.n_dl_symbols))
+                    payloads.append(h.payload)
+        cands = [u for u in self.ues.values()
+                 if u.dl_buffer > 0 and u.free_harq(u.dl_harq) is not None]
+        for ue, p0, sz, mcs in self._pf_allocate(cands, dl=True):
+            hid = ue.free_harq(ue.dl_harq)
+            tbs = tbs_bytes(mcs, sz, cfg.n_dl_symbols)
+            pay = bytes(min(tbs, ue.dl_buffer))
+            h = ue.dl_harq[hid]
+            h.active, h.round, h.tbs, h.mcs, h.prbs, h.payload = \
+                True, 0, tbs, mcs, (p0, sz), pay
+            ue.dl_buffer = max(0, ue.dl_buffer - tbs)
+            ue.avg_thr_dl = (1 - a) * ue.avg_thr_dl + a * tbs
+            dl_pdus.append(fapi.PdschPdu(
+                rnti=ue.rnti, pdu_index=len(dl_pdus), mcs=mcs, rb_start=p0,
+                rb_size=sz, nr_of_symbols=cfg.n_dl_symbols))
+            payloads.append(pay)
+
+        ul_pdus = []
+        for ue in self.ues.values():
+            for hid, h in enumerate(ue.ul_harq):
+                if h.active and h.round > 0:
+                    ul_pdus.append(fapi.PuschPduMsg(
+                        rnti=ue.rnti, handle=len(ul_pdus), mcs=h.mcs,
+                        rb_start=h.prbs[0], rb_size=h.prbs[1], rv=h.rv,
+                        harq_process_id=hid, new_data=0,
+                        nr_of_symbols=cfg.n_ul_symbols))
+        cands = [u for u in self.ues.values()
+                 if u.ul_buffer > 0 and u.free_harq(u.ul_harq) is not None]
+        for ue, p0, sz, mcs in self._pf_allocate(cands, dl=False):
+            hid = ue.free_harq(ue.ul_harq)
+            tbs = tbs_bytes(mcs, sz, cfg.n_ul_symbols)
+            h = ue.ul_harq[hid]
+            h.active, h.round, h.tbs, h.mcs, h.prbs = True, 0, tbs, mcs, (p0, sz)
+            ue.avg_thr_ul = (1 - a) * ue.avg_thr_ul + a * tbs
+            ul_pdus.append(fapi.PuschPduMsg(
+                rnti=ue.rnti, handle=len(ul_pdus), mcs=mcs, rb_start=p0,
+                rb_size=sz, rv=0, harq_process_id=hid, new_data=1,
+                nr_of_symbols=cfg.n_ul_symbols))
+
+        dl = fapi.DlTtiRequest(sfn=sfn, slot=slot, pdsch=tuple(dl_pdus))
+        ul = fapi.UlTtiRequest(sfn=sfn, slot=slot, pusch=tuple(ul_pdus))
+        txd = fapi.TxDataRequest(sfn=sfn, slot=slot, payloads=tuple(payloads))
+        return dl, ul, txd

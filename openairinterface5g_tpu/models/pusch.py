@@ -229,12 +229,8 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
     g = ldpc.build_graph(p.bg, p.Z)
     cw = ldpc.encode(g, cbs.reshape(B * p.C, p.K)).reshape(B, p.C, -1)
     es = cfg.cb_e_sizes(g_data)
-    parts = []
-    for j, E in enumerate(es):
-        e = rate_matching.rate_match_tx(g, cw[:, j], rv, E, p.F, ncb=cfg.ncb())
-        f = rate_matching.interleave_tx(e, qm)
-        parts.append(f)
-    codeword = jnp.concatenate(parts, axis=-1)          # (B, G_data)
+    codeword = rate_matching.fused_rate_match_tx(
+        g, cw, rv, tuple(es), qm, p.F, ncb=cfg.ncb())   # (B, G_data)
     if uci_cfg is not None:
         from .uci_on_pusch import mux_uci_bits
         codeword = mux_uci_bits(cfg, uci_cfg, codeword, ack_bits=ack_bits,

@@ -121,3 +121,61 @@ def test_lbrm_limited_buffer_roundtrip():
         full = fused_rate_match_rx(g, jnp.asarray(llr), rv, (E,), 2, 0, ncb=ncb)
         bits, ok, _ = decode(g, full.reshape(2, -1), n_iters=20)
         assert bool(ok.all()) and np.array_equal(np.asarray(bits), info), rv
+
+
+def test_fused_rate_match_runs_equiv_gather():
+    """Run-wise dense slice rate matching == per-CB index gather reference,
+    TX and RX, across rv / filler / repetition / LBRM cases."""
+    from openairinterface5g_tpu.coding.rate_matching import (
+        deinterleave_rx, fused_rate_match_rx, fused_rate_match_tx,
+        interleave_tx, rate_match_rx, rate_match_tx)
+    from openairinterface5g_tpu.coding import ldpc as ldpc_mod
+    rng = np.random.default_rng(3)
+    for bg, Z, rv, F, qm, es, ncb in [
+        (1, 64, 0, 0, 2, (1000, 1000), None),
+        (1, 64, 2, 36, 4, (1408, 1412), None),
+        (2, 52, 3, 10, 2, (600, 604, 604), None),
+        (2, 16, 0, 0, 2, (2000,), None),            # repetition: E > N
+        (1, 32, 2, 0, 6, (1200, 1200), 1408),       # LBRM-limited buffer
+    ]:
+        g = ldpc_mod.build_graph(bg, Z)
+        C = len(es)
+        B = 2
+        cw = jnp.asarray(rng.integers(0, 2, (B, C, g.cols * Z)).astype(np.int8))
+        # TX equivalence
+        ref_parts = []
+        for j, E in enumerate(es):
+            e = rate_match_tx(g, cw[:, j], rv, E, F, ncb=ncb)
+            ref_parts.append(interleave_tx(e, qm))
+        ref_tx = jnp.concatenate(ref_parts, axis=-1)
+        got_tx = fused_rate_match_tx(g, cw, rv, tuple(es), qm, F, ncb=ncb)
+        assert np.array_equal(np.asarray(ref_tx), np.asarray(got_tx)), \
+            f"TX mismatch bg={bg} Z={Z} rv={rv}"
+        # RX equivalence
+        llr = jnp.asarray(rng.normal(size=(B, sum(es))).astype(np.float32))
+        offs = np.concatenate([[0], np.cumsum(es)])
+        ref_rx = jnp.stack([
+            rate_match_rx(g, deinterleave_rx(
+                llr[:, int(offs[j]): int(offs[j + 1])], qm), rv, F)
+            for j in range(C)], axis=1)
+        got_rx = fused_rate_match_rx(g, llr, rv, tuple(es), qm, F, ncb=ncb)
+        # rate_match_rx has no ncb plumbing in this old path; recompute
+        # reference manually when LBRM (selection_indices handles ncb)
+        if ncb is None:
+            np.testing.assert_allclose(np.asarray(ref_rx), np.asarray(got_rx),
+                                       rtol=1e-6)
+        else:
+            # TX->RX self-consistency: scatter back the TX bits' signs
+            sgn = 1.0 - 2.0 * np.asarray(got_tx, np.float32)
+            back = fused_rate_match_rx(g, jnp.asarray(sgn), rv, tuple(es),
+                                       qm, F, ncb=ncb)
+            cwf = np.asarray(cw, np.float32)
+            back_np = np.asarray(back)
+            sel_mask = np.abs(back_np) > 0.5
+            sel_mask[..., :2 * Z] = False
+            K = g.K
+            sel_mask[..., K - F: K] = False
+            signs = 1.0 - 2.0 * cwf
+            # every selected position's combined sign agrees with the bit
+            agree = np.sign(back_np[sel_mask]) == np.sign(signs[sel_mask])
+            assert agree.all()
