@@ -181,13 +181,18 @@ class PuschConfig:
         precoding: low-PAPR sequence r_{u,v} (§6.4.1.1.1.2) with group /
         sequence hopping from group_seq_hopping — the reference's
         nr_dmrs_rx.c / ul_ref_seq_nr.c split."""
+        return jnp.asarray(self.dmrs_pilot_np(symbol))
+
+    def dmrs_pilot_np(self, symbol: int) -> np.ndarray:
+        """Host-constant pilot sequence (cinit is config-static, so the
+        Gold generation runs at trace time, not as device ops)."""
         if not self.transform_precoding:
             cinit_d = refsig.dmrs_cinit(self.slot, symbol, self.n_id)
-            return refsig.dmrs_sequence(cinit_d, 6 * self.n_prb)
+            return refsig.dmrs_sequence_np(cinit_d, 6 * self.n_prb)
         from ..phy.hopping import group_sequence_uv
         u, v = group_sequence_uv(self.n_id, self.group_seq_hopping,
                                  self.slot, hop=0, m_zc=6 * self.n_prb)
-        return jnp.asarray(refsig.low_papr_sequence(u, v, 6 * self.n_prb))
+        return refsig.low_papr_sequence(u, v, 6 * self.n_prb)
 
     def cb_e_sizes(self, g_total: int | None = None) -> list[int]:
         """Per-code-block rate-matched lengths E_j (TS 38.212 §5.4.2.1).
@@ -261,7 +266,7 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
         for i, s in enumerate(cfg.data_symbols):
             if cfg.ptrs_symbol_flags[i]:
                 cinit_p = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
-                pilp = refsig.dmrs_sequence(cinit_p, len(cfg.ptrs_rel_sc()))
+                pilp = refsig.dmrs_sequence_np(cinit_p, len(cfg.ptrs_rel_sc()))
                 grid_re = grid_re.at[:, 0, s, psc].set(pilp)
     else:
         for i, s in enumerate(cfg.data_symbols):
@@ -335,6 +340,7 @@ def pusch_channel_estimate(cfg: PuschConfig, re_grid: jnp.ndarray,
     a0 = cfg.sc0
     P = cfg.n_layers if n_ports is None else n_ports
     double = cfg.dmrs_max_len == 2
+    ports = list(range(cfg.dmrs_port0, cfg.dmrs_port0 + P))
     # symbol groups: pairs for double-symbol DMRS, singletons otherwise
     if double:
         assert len(cfg.dmrs_symbols) % 2 == 0, "double DMRS needs symbol pairs"
@@ -342,47 +348,59 @@ def pusch_channel_estimate(cfg: PuschConfig, re_grid: jnp.ndarray,
                   for i in range(0, len(cfg.dmrs_symbols), 2)]
     else:
         groups = [(s,) for s in cfg.dmrs_symbols]
-    h_layers = []
+
+    # The RE gather + LS multiply depend only on the CDM group delta (and
+    # for double DMRS the port's time OCC), NOT on the port — compute them
+    # once per (delta, symbol) and separate ports with a vectorized sign
+    # combine.  Pilots are host constants (dmrs_pilot_np), so the whole
+    # prelude is a handful of batched ops instead of per-port chains — the
+    # per-op overhead on these small tensors dominated the old loop.
+    h_by_port: dict[int, jnp.ndarray] = {}
     nvars = []
-    for port in range(cfg.dmrs_port0, cfg.dmrs_port0 + P):
-        if double:
-            wf, wt, delta = refsig.dmrs_type1_port_weights_double(port)
-        else:
-            wf, delta = refsig.dmrs_type1_port_weights(port)
-            wt = np.array([1.0], np.float32)
+    for delta in sorted({refsig.dmrs_type1_port_weights(p % 4)[1] for p in ports}):
+        g_ports = [p for p in ports
+                   if refsig.dmrs_type1_port_weights(p % 4)[1] == delta]
         sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta) + a0
-        hp_syms = []
+        sc_t = jnp.asarray(sc)
+        # per symbol-group LS at the group's comb (shared by its ports)
+        ls_syms = []
         for grp in groups:
-            # time-OCC despread across the symbol group
             ls_t = []
-            for li, s in enumerate(grp):
-                pil = cfg.dmrs_pilot(s)
-                yp = re_grid[:, :, s, :][..., jnp.asarray(sc)]   # (B, R, P)
-                ls_t.append(ce.ls_estimate(yp, pil) * wt[li])
-            ls = sum(ls_t) / len(ls_t)
-            if P > 1 or double:
-                # CDM separation: average pilot pairs with the port's OCC
-                w = jnp.asarray(np.tile(wf, 3 * cfg.n_prb), dtype=jnp.complex64)
-                ls = ls * jnp.conj(w)
-                pair = ls.reshape(*ls.shape[:-1], -1, 2).mean(axis=-1)
-                hp_s = jnp.repeat(pair, 2, axis=-1)
-                # noise estimate from CDM-separated values (raw adjacent
-                # differences would measure the other port): each pair
-                # value averages 2 pilots -> E|pair_k - pair_{k+1}|^2 = s2
-                d = pair[..., 1:] - pair[..., :-1]
-                nvars.append(jnp.mean(jnp.abs(d) ** 2, axis=-1))
+            for s in grp:
+                pil = jnp.asarray(cfg.dmrs_pilot_np(s))
+                yp = re_grid[:, :, s, :][..., sc_t]          # (B, R, n_p)
+                ls_t.append(ce.ls_estimate(yp, pil))
+            ls_syms.append(ls_t)
+        for p in g_ports:
+            if double:
+                wf, wt, _ = refsig.dmrs_type1_port_weights_double(p)
             else:
-                hp_s = ls
-                nvars.append(ce.noise_variance(yp, ls, pil))
-            hp_syms.append(hp_s)
-        hp = sum(hp_syms) / len(hp_syms)
-        if cfg.chest_mode == "delay":
-            hp = ce.delay_domain_denoise(hp)
-        elif cfg.chest_window > 1:
-            hp = ce.freq_average(hp, window=cfg.chest_window)
-        h = ce.comb2_interpolate(hp, m_per_sym, delta)
-        h_layers.append(h)
-    h_est = jnp.stack(h_layers, axis=2)  # (B, R, P, m_per_sym)
+                wf, _ = refsig.dmrs_type1_port_weights(p)
+                wt = np.array([1.0], np.float32)
+            hp_syms = []
+            for ls_t in ls_syms:
+                ls = sum(l * float(wt[li]) for li, l in enumerate(ls_t)) / len(ls_t)
+                if P > 1 or double:
+                    # CDM separation: (even + wf[1]*odd)/2 per pilot pair;
+                    # noise estimate from the separated values (raw adjacent
+                    # differences would measure the other port): each pair
+                    # value averages 2 pilots -> E|pair_k - pair_{k+1}|^2 = s2
+                    pair = 0.5 * (ls[..., 0::2] + float(wf[1]) * ls[..., 1::2])
+                    d = pair[..., 1:] - pair[..., :-1]
+                    nvars.append(jnp.mean(jnp.abs(d) ** 2, axis=-1))
+                    hp_syms.append(pair)
+                else:
+                    nvars.append(ce.noise_variance(None, ls, None))
+                    hp_syms.append(ls)
+            hp = sum(hp_syms) / len(hp_syms)
+            if P > 1 or double:
+                hp = jnp.repeat(hp, 2, axis=-1)
+            if cfg.chest_mode == "delay":
+                hp = ce.delay_domain_denoise(hp)
+            elif cfg.chest_window > 1:
+                hp = ce.freq_average(hp, window=cfg.chest_window)
+            h_by_port[p] = ce.comb2_interpolate(hp, m_per_sym, delta)
+    h_est = jnp.stack([h_by_port[p] for p in ports], axis=2)
     nvar = jnp.mean(jnp.stack(nvars), axis=0).mean(axis=-1)  # (B,)
     return h_est, nvar
 
@@ -444,7 +462,7 @@ def pusch_llrs(cfg: PuschConfig, re_grid: jnp.ndarray, x, mag,
         for i, s in enumerate(cfg.data_symbols):
             if cfg.ptrs_symbol_flags[i]:
                 cinit_p = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
-                pilp = refsig.dmrs_sequence(cinit_p, len(psc_rel))
+                pilp = refsig.dmrs_sequence_np(cinit_p, len(psc_rel))
                 yps = re_grid[:, :, s, :][..., psc]         # (B,R,P)
                 z = jnp.sum(yps * jnp.conj(hp * pilp[None, None, :]),
                             axis=(1, 2))

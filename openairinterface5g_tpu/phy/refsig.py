@@ -23,6 +23,15 @@ def dmrs_cinit(slot: int, symbol: int, n_id: int, n_scid: int = 0, symbols_per_s
     )
 
 
+def dmrs_sequence_np(cinit: int, n_pilots: int) -> np.ndarray:
+    """Host-constant DMRS pilots for static cinit (see gold_sequence_np)."""
+    from .scrambling import gold_sequence_np
+    c = gold_sequence_np(int(cinit), 2 * n_pilots).astype(np.float32)
+    re = (1.0 - 2.0 * c[0::2]) * SQRT_HALF
+    im = (1.0 - 2.0 * c[1::2]) * SQRT_HALF
+    return (re + 1j * im).astype(np.complex64)
+
+
 def dmrs_sequence(cinit, n_pilots: int) -> jnp.ndarray:
     """r(n) = ((1-2c(2n)) + j(1-2c(2n+1)))/sqrt(2)  -> (n_pilots,) complex64."""
     c = gold_sequence(cinit, 2 * n_pilots).astype(jnp.float32)

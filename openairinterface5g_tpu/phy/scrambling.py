@@ -74,6 +74,20 @@ def _gold_tables(length: int):
     return x1_out.astype(np.int8), Apow
 
 
+def gold_sequence_np(cinit: int, length: int) -> np.ndarray:
+    """Host-side gold sequence for STATIC cinit: same tables, numpy ops.
+
+    Pilot/scrambling sequences with config-static cinit become trace-time
+    constants instead of device op chains (the small-tensor op overhead on
+    the pilot path measurably costs more than the sequences' memory)."""
+    x1_np, Apow_np = _gold_tables(length)
+    masked = Apow_np & np.uint32(cinit)
+    bits = (np.bitwise_count(masked.view(np.uint8)).reshape(-1, 4).sum(-1)
+            .reshape(Apow_np.shape) & 1).astype(np.int8)
+    x2 = bits.reshape(-1)[:length]
+    return x1_np[:length] ^ x2
+
+
 def gold_sequence(cinit, length: int) -> jnp.ndarray:
     """c(n) for n in [0, length); cinit may be a traced int32/uint32 scalar."""
     x1_np, Apow_np = _gold_tables(length)
