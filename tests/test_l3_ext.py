@@ -1,0 +1,66 @@
+"""UE MAC random access, E2AP RIC agent, XnAP handover tests."""
+
+
+def test_ue_mac_random_access():
+    from openairinterface5g_tpu.l2.ue_mac import UeMac
+    ue = UeMac()
+    req = ue.start_ra(slot=0, msg3_payload=b"RRCSetupRequest")
+    assert req["preamble_index"] == ue.ra.preamble_index
+    # RAR for a different preamble is ignored
+    assert ue.on_rar(5, {"preamble_index": 3, "tc_rnti": 0x41}) is None
+    msg3 = ue.on_rar(5, {"preamble_index": req["preamble_index"],
+                         "tc_rnti": 0x41, "ul_grant": 56})
+    assert msg3["rnti"] == 0x41 and msg3["payload"] == b"RRCSetupRequest"
+    assert ue.on_contention_resolution(0x41, b"RRCSetupRequest...")
+    assert ue.state == "CONNECTED" and ue.c_rnti == 0x41
+
+
+def test_ue_mac_ra_timeout_and_bsr():
+    from openairinterface5g_tpu.l2.ue_mac import UeMac
+    ue = UeMac()
+    ue.start_ra(slot=0)
+    assert ue.ra_timeout(ue.ra.response_window_slots + 1)  # retry allowed
+    assert ue.state == "IDLE"
+    ue.push_ul_data(5000)
+    assert ue.bsr() > 0
+    filled = ue.on_ul_grant(tbs_bytes=1000)
+    assert filled["data_bytes"] == 998
+    assert ue.ul_buffer == 5000 - 998
+
+
+def test_e2ap_kpm_loop():
+    import json
+    from openairinterface5g_tpu.l3.e2ap import E2Agent, RicStub
+    stats = {"ues": [{"rnti": 0x46, "dl_tput_mbps": 42.0, "mcs": 16}]}
+    controls = []
+    agent = E2Agent(gnb_id=7, stats_provider=lambda: stats,
+                    control_sink=controls.append)
+    ric = RicStub()
+    agent.send = ric.handle
+    ric.send = agent.handle
+    agent.e2_setup()
+    assert agent.setup_done and ric.functions == [2, 3]
+    ric.subscribe(period_ms=100)
+    agent.tick()
+    agent.tick()
+    assert len(ric.indications) == 2
+    assert ric.indications[0]["ues"][0]["rnti"] == 0x46
+    ric.control({"max_mcs": 9})
+    assert controls == [{"max_mcs": 9}]
+
+
+def test_xnap_handover():
+    from openairinterface5g_tpu.l3.xnap import XnEndpoint
+    src = XnEndpoint(gnb_id=1, cells=[101])
+    tgt = XnEndpoint(gnb_id=2, cells=[202])
+    src.send = tgt.handle
+    tgt.send = src.handle
+    src.xn_setup()
+    assert src.setup_done and src.peer_cells == [202]
+    src.start_handover(ue_id=9, target_cell=202, c_rnti=0x46,
+                       ue_context=b"rrc-ctx", sn_dl=100, sn_ul=50)
+    assert 9 in src.pending_ho and "ack" in src.pending_ho[9]
+    assert src.completed == [9]
+    tid = src.pending_ho[9]["ack"]["target_ue_id"]
+    assert tgt.admitted[tid]["context"] == b"rrc-ctx"
+    assert tgt.admitted[tid]["c_rnti"] == 0xC000 + tid
