@@ -40,8 +40,9 @@ def main():
     # — the full 8-iteration pass runs only when a CB fails parity after 4
     cfg = PuschConfig(mu=1, n_prb=273, mcs=16, n_layers=2, n_rx=2,
                       decoder_backend="pallas", decoder_first_iters=4)
-    B = 4   # slots per step
-    n_rep = 16
+    B = 8   # slots per step (deeper batch amortizes per-op dispatch cost;
+            # still within the reference's sl_ahead≈6-slot pipeline depth)
+    n_rep = 32
 
     rng = np.random.default_rng(0)
     tb = jnp.asarray(rng.integers(0, 2, size=(B, cfg.tbs)).astype(np.int8))

@@ -198,12 +198,41 @@ def fused_rate_match_rx(graph, llr_cw, rv: int, es: tuple, qm: int, F: int,
     C = len(es)
     N = g.N
     offs = np.concatenate([[0], np.cumsum(es)])
-    d = jnp.zeros((B, C, N), llr_cw.dtype)
-    for (j0, j1, E) in _cb_groups(tuple(es)):
-        seg = llr_cw[:, offs[j0]: offs[j1]].reshape(B, j1 - j0, E)
-        seg = deinterleave_rx(seg, qm)
-        for (e0, d0, ln) in _rx_runs(g.bg, g.Z, g.kc, rv, E, F, ncb):
-            d = d.at[:, j0:j1, d0: d0 + ln].add(seg[:, :, e0: e0 + ln])
+    groups = _cb_groups(tuple(es))
+    group_runs = [_rx_runs(g.bg, g.Z, g.kc, rv, E, F, ncb)
+                  for (_, _, E) in groups]
+    # fast path: when every group's runs land at strictly increasing,
+    # non-overlapping d-positions (always true at rv=0 and whenever E fits
+    # the circular buffer without wrap), the whole recovery is slice
+    # CONCATENATION — one buffer materialization instead of one
+    # copy-on-write .at[].add pass per run
+    concat_ok = all(
+        all(runs[i][1] + runs[i][2] <= runs[i + 1][1]
+            for i in range(len(runs) - 1))
+        for runs in group_runs)
+    if concat_ok:
+        d_groups = []
+        for (j0, j1, E), runs in zip(groups, group_runs):
+            seg = llr_cw[:, offs[j0]: offs[j1]].reshape(B, j1 - j0, E)
+            seg = deinterleave_rx(seg, qm)
+            pieces, pos = [], 0
+            for (e0, d0, ln) in runs:
+                if d0 > pos:
+                    pieces.append(jnp.zeros((B, j1 - j0, d0 - pos), llr_cw.dtype))
+                pieces.append(seg[:, :, e0: e0 + ln])
+                pos = d0 + ln
+            if pos < N:
+                pieces.append(jnp.zeros((B, j1 - j0, N - pos), llr_cw.dtype))
+            d_groups.append(jnp.concatenate(pieces, axis=-1))
+        d = (d_groups[0] if len(d_groups) == 1
+             else jnp.concatenate(d_groups, axis=1))
+    else:
+        d = jnp.zeros((B, C, N), llr_cw.dtype)
+        for (j0, j1, E), runs in zip(groups, group_runs):
+            seg = llr_cw[:, offs[j0]: offs[j1]].reshape(B, j1 - j0, E)
+            seg = deinterleave_rx(seg, qm)
+            for (e0, d0, ln) in runs:
+                d = d.at[:, j0:j1, d0: d0 + ln].add(seg[:, :, e0: e0 + ln])
     if F:
         K = g.K
         filler = jnp.zeros((N,), llr_cw.dtype).at[K - 2 * g.Z - F: K - 2 * g.Z].set(filler_llr)

@@ -351,12 +351,13 @@ def pusch_channel_estimate(cfg: PuschConfig, re_grid: jnp.ndarray,
 
     # The RE gather + LS multiply depend only on the CDM group delta (and
     # for double DMRS the port's time OCC), NOT on the port — compute them
-    # once per (delta, symbol) and separate ports with a vectorized sign
-    # combine.  Pilots are host constants (dmrs_pilot_np), so the whole
-    # prelude is a handful of batched ops instead of per-port chains — the
-    # per-op overhead on these small tensors dominated the old loop.
+    # once per (delta, symbol) and separate ALL of a delta's ports with one
+    # broadcast sign combine over a port axis.  Pilots are host constants
+    # (dmrs_pilot_np) and the smoothing is a cumsum moving average, so the
+    # whole estimator is ~15 batched ops; the previous per-port chains were
+    # op-count-bound on these small tensors (docs/PERF.md round 3).
     h_by_port: dict[int, jnp.ndarray] = {}
-    nvars = []
+    nvar_terms = []        # each (B, R, n_ports_of_term)
     for delta in sorted({refsig.dmrs_type1_port_weights(p % 4)[1] for p in ports}):
         g_ports = [p for p in ports
                    if refsig.dmrs_type1_port_weights(p % 4)[1] == delta]
@@ -371,6 +372,31 @@ def pusch_channel_estimate(cfg: PuschConfig, re_grid: jnp.ndarray,
                 yp = re_grid[:, :, s, :][..., sc_t]          # (B, R, n_p)
                 ls_t.append(ce.ls_estimate(yp, pil))
             ls_syms.append(ls_t)
+        if not double and (P > 1 or len(g_ports) > 1):
+            # vectorized CDM separation: ports differ only by the freq-OCC
+            # sign on odd pilots -> one broadcast over a port axis
+            wf1 = jnp.asarray(np.array(
+                [refsig.dmrs_type1_port_weights(p % 4)[0][1]
+                 for p in g_ports], np.float32))
+            ls = sum(ls_t[0] for ls_t in ls_syms) / len(ls_syms)
+            even = ls[..., 0::2]
+            odd = ls[..., 1::2]
+            pairs = 0.5 * (even[..., None, :]
+                           + wf1[:, None] * odd[..., None, :])  # (B,R,Pg,m)
+            dd = pairs[..., 1:] - pairs[..., :-1]
+            # pairs average len(ls_syms) DMRS symbols -> scale back to the
+            # per-symbol noise variance the old per-group estimate measured
+            nvar_terms.append(
+                jnp.mean(jnp.abs(dd) ** 2, axis=-1) * len(ls_syms))
+            hp = jnp.repeat(pairs, 2, axis=-1)
+            if cfg.chest_mode == "delay":
+                hp = ce.delay_domain_denoise(hp)
+            elif cfg.chest_window > 1:
+                hp = ce.freq_average(hp, window=cfg.chest_window)
+            hs = ce.comb2_interpolate(hp, m_per_sym, delta)   # (B,R,Pg,M)
+            for i, p in enumerate(g_ports):
+                h_by_port[p] = hs[..., i, :]
+            continue
         for p in g_ports:
             if double:
                 wf, wt, _ = refsig.dmrs_type1_port_weights_double(p)
@@ -387,10 +413,10 @@ def pusch_channel_estimate(cfg: PuschConfig, re_grid: jnp.ndarray,
                     # value averages 2 pilots -> E|pair_k - pair_{k+1}|^2 = s2
                     pair = 0.5 * (ls[..., 0::2] + float(wf[1]) * ls[..., 1::2])
                     d = pair[..., 1:] - pair[..., :-1]
-                    nvars.append(jnp.mean(jnp.abs(d) ** 2, axis=-1))
+                    nvar_terms.append(jnp.mean(jnp.abs(d) ** 2, axis=-1)[..., None])
                     hp_syms.append(pair)
                 else:
-                    nvars.append(ce.noise_variance(None, ls, None))
+                    nvar_terms.append(ce.noise_variance(None, ls, None)[..., None])
                     hp_syms.append(ls)
             hp = sum(hp_syms) / len(hp_syms)
             if P > 1 or double:
@@ -401,7 +427,7 @@ def pusch_channel_estimate(cfg: PuschConfig, re_grid: jnp.ndarray,
                 hp = ce.freq_average(hp, window=cfg.chest_window)
             h_by_port[p] = ce.comb2_interpolate(hp, m_per_sym, delta)
     h_est = jnp.stack([h_by_port[p] for p in ports], axis=2)
-    nvar = jnp.mean(jnp.stack(nvars), axis=0).mean(axis=-1)  # (B,)
+    nvar = jnp.concatenate(nvar_terms, axis=-1).mean(axis=(-2, -1))  # (B,)
     return h_est, nvar
 
 

@@ -52,8 +52,13 @@ def freq_average(h: jnp.ndarray, window: int = 0) -> jnp.ndarray:
         [jnp.repeat(h[..., :1], pad, axis=-1), h, jnp.repeat(h[..., -1:], window - 1 - pad, axis=-1)],
         axis=-1,
     )
-    acc = sum(hp[..., k: k + h.shape[-1]] for k in range(window))
-    return acc / window
+    # moving average via cumulative sum: 3 ops instead of `window` shifted
+    # adds (the op count, not FLOPs, bounds these small tensors on TPU)
+    cs = jnp.cumsum(hp, axis=-1)
+    head = cs[..., window - 1: window - 1 + h.shape[-1]]
+    tail = jnp.concatenate(
+        [jnp.zeros_like(cs[..., :1]), cs[..., : h.shape[-1] - 1]], axis=-1)
+    return (head - tail) / window
 
 
 def noise_variance(y_pilots: jnp.ndarray, h_pilots: jnp.ndarray, pilots: jnp.ndarray) -> jnp.ndarray:

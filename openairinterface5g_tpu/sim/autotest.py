@@ -127,15 +127,22 @@ def run_case(module: str, argv: list[str]) -> str:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
+    ap.add_argument("--conformance", action="store_true",
+                    help="run the 28-point nr_ulsim.3gpp matrix + mimo set")
     ap.add_argument("--filter", type=str, default="")
     args = ap.parse_args(argv)
 
     from ..utils.cache import enable_compile_cache
     enable_compile_cache()
 
+    case_list = list(CASES)
+    if args.conformance:
+        case_list = [(cid, "ulsim", cargv, "PUSCH test OK", True)
+                     for cid, cargv in CONFORMANCE_CASES]
+
     results = []
-    for cid, module, case_argv, pass_str, quick in CASES:
-        if not args.full and not quick:
+    for cid, module, case_argv, pass_str, quick in case_list:
+        if not args.full and not args.conformance and not quick:
             continue
         if args.filter and args.filter not in cid:
             continue
