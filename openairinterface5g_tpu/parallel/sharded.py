@@ -61,7 +61,7 @@ def sharded_slot_sweep(mesh: Mesh, cfg, snr_db: float, tb_bits, key,
         check_vma=False)
     def _run(tb, keys):
         tx, _ = pusch_tx(cfg, tb)
-        sig = jnp.mean(jnp.sum(jnp.abs(tx) ** 2, axis=-2))
+        sig = jnp.mean(jnp.sum(jnp.abs(tx) ** 2, axis=-2)) / cfg.n_layers
         sigma2 = sig * (cfg.fp.fft_size / cfg.fp.n_sc) * 10 ** (-snr_db / 10)
         rx = add_noise(keys[0], tx, sigma2)
         out = pusch_rx(cfg, rx, n_iters=n_iters)

@@ -54,7 +54,7 @@ def _gpp(mu, prb, n_rx, snr, iters=7, mcs=20, layers=1, chan="TDLA", ds="10"):
     throughput at the listed SNR."""
     argv = ["-m", str(mcs), "-R", str(prb), "-u", str(mu), "-y", str(n_rx),
             "-g", chan, "--delay-spread", ds, "-M", "2", "-I", str(iters),
-            "-s", str(snr), "-n", "64", "-t", "70", "-D", "1",
+            "-s", str(snr), "-n", "128", "-b", "64", "-t", "70", "-D", "1",
             "--chest-window", "16"]
     if layers > 1:
         argv += ["-W", str(layers)]

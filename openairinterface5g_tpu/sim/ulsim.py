@@ -43,7 +43,10 @@ def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str, delay_spre
         for r, rv in enumerate(HARQ_RV_SEQ[:max_rounds]):
             key, k1, k2 = jax.random.split(key, 3)
             tx, _ = pusch_tx(cfg, tb, rv=rv)
-            sig = jnp.mean(jnp.sum(jnp.abs(tx) ** 2, axis=-2))
+            # per-TX-antenna signal power: the reference's ulsim noise is
+            # relative to ONE antenna's amplitude (ulsim.c:1190 AMP scale),
+            # so multi-layer SNR must not count the other layers' power
+            sig = jnp.mean(jnp.sum(jnp.abs(tx) ** 2, axis=-2)) / cfg.n_layers
             sigma2 = sig * (cfg.fp.fft_size / cfg.fp.n_sc) * 10 ** (-snr_db / 10)
             rx, _ = apply_channel(model, k1, tx)
             rx = add_noise(k2, rx, sigma2)
