@@ -361,15 +361,18 @@ def pusch_channel_estimate(cfg: PuschConfig, re_grid: jnp.ndarray,
     for delta in sorted({refsig.dmrs_type1_port_weights(p % 4)[1] for p in ports}):
         g_ports = [p for p in ports
                    if refsig.dmrs_type1_port_weights(p % 4)[1] == delta]
-        # per symbol-group LS at the group's comb (shared by its ports);
-        # the comb-2 DMRS pattern is a STRIDED SLICE, not a gather — TPU
-        # gathers serialize per index and dominated the estimator's time
+        sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta) + a0
+        sc_t = jnp.asarray(sc)
+        # per symbol-group LS at the group's comb (shared by its ports).
+        # NOTE: the comb-2 read stays an index gather — a stride-2 lane
+        # slice forces a Mosaic relayout that measured ~10% SLOWER than
+        # the gather on the full chain (docs/PERF.md round 3)
         ls_syms = []
         for grp in groups:
             ls_t = []
             for s in grp:
                 pil = jnp.asarray(cfg.dmrs_pilot_np(s))
-                yp = re_grid[:, :, s, a0 + delta: a0 + m_per_sym: 2]
+                yp = re_grid[:, :, s, :][..., sc_t]          # (B, R, n_p)
                 ls_t.append(ce.ls_estimate(yp, pil))
             ls_syms.append(ls_t)
         if not double and (P > 1 or len(g_ports) > 1):
@@ -437,15 +440,8 @@ def pusch_equalize(cfg: PuschConfig, re_grid: jnp.ndarray, h_est, nvar):
     B = re_grid.shape[0]
     m_per_sym = 12 * cfg.n_prb
     a0 = cfg.sc0
-    # contiguous symbol runs -> slices instead of a symbol-axis gather
     data_syms = list(cfg.data_symbols)
-    runs, r0 = [], data_syms[0]
-    for i in range(1, len(data_syms) + 1):
-        if i == len(data_syms) or data_syms[i] != data_syms[i - 1] + 1:
-            runs.append((r0, data_syms[i - 1] + 1))
-            r0 = data_syms[i] if i < len(data_syms) else -1
-    parts = [re_grid[:, :, s0:s1, a0: a0 + m_per_sym] for (s0, s1) in runs]
-    y = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+    y = re_grid[:, :, jnp.asarray(data_syms), a0: a0 + m_per_sym]
     h = h_est
     n_ports = h_est.shape[2]
     if n_ports == 1:
