@@ -25,6 +25,26 @@ from .params import LteFrameParams, make_lte_frame_params
 E_PBCH = 1920                    # normal CP, 4 frames x 480 bits
 _ANT_MASK = {1: 0, 2: 0xFFFF, 4: 0xAAAA}
 
+_BW_TO_RB = (6, 15, 25, 50, 75, 100)
+
+
+def mib_pack(n_rb: int, sfn: int, phich_duration: int = 0,
+             phich_resource: int = 0) -> np.ndarray:
+    """(24,) LTE MIB bits (TS 36.331 MasterInformationBlock): dl-Bandwidth(3),
+    phich-duration(1), phich-resource(2), 8 MSBs of the 10-bit SFN, spare(10)."""
+    bw = _BW_TO_RB.index(n_rb)
+    v = (bw << 21) | (phich_duration << 20) | (phich_resource << 18) \
+        | (((sfn >> 2) & 0xFF) << 10)
+    return np.array([(v >> (23 - i)) & 1 for i in range(24)], np.int8)
+
+
+def mib_unpack(bits: np.ndarray) -> dict:
+    v = int(sum(int(b) << (23 - i) for i, b in enumerate(np.asarray(bits))))
+    return {"n_rb": _BW_TO_RB[(v >> 21) & 7],
+            "phich_duration": (v >> 20) & 1,
+            "phich_resource": (v >> 18) & 3,
+            "sfn_msb8": (v >> 10) & 0xFF}
+
 
 @dataclasses.dataclass(frozen=True)
 class LtePbchConfig:
