@@ -39,3 +39,23 @@ def test_lte_prach_dtx():
                    + 1j * rng.normal(size=(2, 2, 839)))
     out = prach_rx(cfg, jnp.asarray(noise.astype(np.complex64)))
     assert not bool(np.any(np.asarray(out["detected"])))
+
+
+def test_lte_srs_sounding():
+    import jax.numpy as jnp
+    import numpy as np
+    from openairinterface5g_tpu.lte.srs import LteSrsConfig, srs_rx, srs_tx
+    cfg = LteSrsConfig(n_rb=25, srs_rb=24, cell_id=7, cyclic_shift=3, n_rx=2)
+    rng = np.random.default_rng(0)
+    tx = srs_tx(cfg, batch=2)
+    h = jnp.asarray((rng.normal(size=(2, 2, 1))
+                     + 1j * rng.normal(size=(2, 2, 1))).astype(np.complex64))
+    y = h * tx[:, None] + 0.05 * jnp.asarray(
+        (rng.normal(size=(2, 2, 300))
+         + 1j * rng.normal(size=(2, 2, 300))).astype(np.complex64))
+    out = srs_rx(cfg, y)
+    assert out["h"].shape == (2, 2, cfg.m_sc)
+    # estimated channel ~ true flat channel
+    err = jnp.mean(jnp.abs(out["h"] - h) ** 2) / jnp.mean(jnp.abs(h) ** 2)
+    assert float(err) < 0.02
+    assert float(jnp.min(out["snr_db"])) > 15.0
