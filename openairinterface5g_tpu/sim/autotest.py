@@ -39,6 +39,9 @@ CASES = [
     ("prachsim-m28dB", "prachsim", ["-s", "-28", "-n", "256"], "PRACH test OK", True),
     ("ulschsim-mcs9", "ulschsim", ["-m", "9", "-R", "106", "-s", "6", "-n", "32"], "ULSCH test OK", False),
     ("dlschsim-mcs15", "dlschsim", ["-m", "15", "-R", "106", "-s", "10", "-n", "32"], "DLSCH test OK", False),
+    # LTE legacy stack (dlsim/ulsim analogs of the eNB physims)
+    ("lte-dlsim-mcs10", "lte_dlsim", ["-m", "10", "-R", "25", "-s", "12", "-n", "16", "-t", "99"], "LTE PDSCH test OK", False),
+    ("lte-ulsim-mcs16-2rx", "lte_ulsim", ["-m", "16", "-R", "25", "-s", "14", "-n", "16", "-t", "99", "-y", "2"], "LTE PUSCH test OK", False),
     # 3GPP G-FR1-A5-13 (40 MHz, 30 kHz SCS, 2 RX, TDL-A 10ns, 2 HARQ
     # rounds, 7 iters): 70% TP at 12.4 dB (test_case_list.xml:457)
     ("ulsim-conformance-GFR1A513", "ulsim",
