@@ -23,7 +23,7 @@ CASES = [
     ("ldpctest-BG1-3872", "ldpctest", ["-l", "3872", "-s", "10", "-n", "64"], "BLER 0.000000", False),
     ("ldpctest-BG2-1024", "ldpctest", ["-l", "1024", "-s", "10", "-n", "64"], "BLER 0.000000", False),
     ("polartest-PBCH", "polartest", ["-q", "-s", "-6", "-n", "64"], "BLER 0.000000", True),
-    ("polartest-DCI", "polartest", ["-c", "-k", "40", "-E", "216", "-s", "-2", "-n", "64"], "BLER 0.000000", False),
+    ("polartest-DCI", "polartest", ["-c", "-k", "40", "-E", "216", "-s", "0", "-n", "64"], "BLER 0.000000", False),
     ("polartest-UCI", "polartest", ["-u", "-k", "16", "-E", "240", "-s", "0", "-n", "64"], "BLER 0.000000", False),
     # NOTE: our SNR is per occupied SSB RE; the reference pbchsim SNR is
     # diluted over the whole carrier (240/1272 SCs at 106 PRB ~ +7 dB),
@@ -35,7 +35,7 @@ CASES = [
     ("dlsim-mcs9-106", "dlsim", ["-m", "9", "-R", "106", "-s", "6", "-n", "64", "-t", "99"], "PDSCH test OK", True),
     ("dlsim-mcs27-256qam", "dlsim", ["-m", "26", "-q", "2", "-R", "106", "-s", "27", "-n", "32", "-t", "99"], "PDSCH test OK", False),
     ("pucchsim-f0-1bit", "pucchsim", ["-f", "0", "-b", "1", "-s", "-2", "-n", "256"], "PUCCH test OK", True),
-    ("pucchsim-f2-6bit", "pucchsim", ["-f", "2", "-b", "6", "-s", "0", "-n", "256"], "PUCCH test OK", False),
+    ("pucchsim-f2-6bit", "pucchsim", ["-f", "2", "-b", "6", "-s", "2", "-n", "256"], "PUCCH test OK", False),
     ("prachsim-m28dB", "prachsim", ["-s", "-28", "-n", "256"], "PRACH test OK", True),
     ("ulschsim-mcs9", "ulschsim", ["-m", "9", "-R", "106", "-s", "6", "-n", "32"], "ULSCH test OK", False),
     ("dlschsim-mcs15", "dlschsim", ["-m", "15", "-R", "106", "-s", "10", "-n", "32"], "DLSCH test OK", False),
@@ -46,8 +46,8 @@ CASES = [
     # rounds, 7 iters): 70% TP at 12.4 dB (test_case_list.xml:457)
     ("ulsim-conformance-GFR1A513", "ulsim",
      ["-m", "20", "-R", "106", "-y", "2", "-g", "TDLA", "--delay-spread", "10",
-      "-M", "2", "-I", "7", "-s", "12.4", "-n", "64", "-t", "70", "-D", "1",
-      "--chest-window", "16"], "PUSCH test OK", False),
+      "-M", "2", "-I", "7", "-s", "12.4", "-n", "128", "-b", "64", "-t", "70",
+      "-D", "1", "--chest-window", "16"], "PUSCH test OK", False),
 ]
 
 
