@@ -23,7 +23,7 @@ from . import refsig
 from .params import LteFrameParams, make_lte_frame_params
 
 E_PBCH = 1920                    # normal CP, 4 frames x 480 bits
-_ANT_MASK = {1: 0, 2: 0xFFFF, 4: 0xAAAA}
+_ANT_MASK = {1: 0, 2: 0xFFFF, 4: 0x5555}  # 36.212 Table 5.3.1.1-1, MSB-first
 
 _BW_TO_RB = (6, 15, 25, 50, 75, 100)
 

@@ -46,15 +46,29 @@ def symbol0_regs(n_rb: int, cell_id: int) -> np.ndarray:
 
 
 def pcfich_reg_indices(n_rb: int, cell_id: int) -> np.ndarray:
-    """The 4 PCFICH REG indices (36.211 §6.7.4): k_bar spaced n_sc/4."""
-    regs = symbol0_regs(n_rb, cell_id)
-    k_bar = (12 // 2) * (cell_id % (2 * n_rb))
+    """The 4 PCFICH REG indices (36.211 §6.7.4).
+
+    Quadruplet i starts at k = (k_bar + floor(i*N_RB/2)*6) mod n_sc; each
+    half-RB of 6 SCs contains exactly one symbol-0 REG, so the REG index
+    is k // 6."""
+    k_bar = 6 * (cell_id % (2 * n_rb))
+    return np.array([((k_bar + (i * n_rb // 2) * 6) % (n_rb * 12)) // 6
+                     for i in range(4)], np.int64)
+
+
+def phich_reg_indices(n_rb: int, cell_id: int, n_groups: int = 1) -> np.ndarray:
+    """Symbol-0 REG indices of the PHICH groups (36.211 §6.9.3, normal
+    duration): n_i' = (N_ID + m' + floor(i*n0/3)) mod n0 counted among the
+    n0 REGs not assigned to PCFICH (reference phich_common.c:302)."""
+    pc = pcfich_reg_indices(n_rb, cell_id)
+    non_pcfich = np.array([i for i in range(2 * n_rb)
+                           if i not in set(pc.tolist())], np.int64)
+    n0 = len(non_pcfich)
     out = []
-    for i in range(4):
-        k = int((k_bar + (i * n_rb // 2) * 12 // 2) % (n_rb * 12))
-        # REG whose first RE is closest to k
-        out.append(int(np.argmin(np.abs(regs[:, 0] - k))))
-    return np.array(sorted(set(out))[:4] if len(set(out)) >= 4 else out)
+    for m in range(n_groups):
+        for i in range(3):
+            out.append(int(non_pcfich[(cell_id + m + i * n0 // 3) % n0]))
+    return np.array(out, np.int64)
 
 
 # CFI codewords (36.212 Table 5.3.4-1)
@@ -123,6 +137,29 @@ N_REG_PER_CCE = 9
 BITS_PER_CCE = 72
 
 
+@functools.lru_cache(maxsize=32)
+def _pdcch_avail_regs(n_rb: int, cell_id: int, n_phich_groups: int) -> tuple:
+    """Symbol-0 REG indices available to PDCCH (PCFICH+PHICH excluded)."""
+    used = set(pcfich_reg_indices(n_rb, cell_id).tolist())
+    used |= set(phich_reg_indices(n_rb, cell_id, n_phich_groups).tolist())
+    return tuple(i for i in range(2 * n_rb) if i not in used)
+
+
+@functools.lru_cache(maxsize=32)
+def _quad_positions(M: int, cell_id: int) -> np.ndarray:
+    """(M,) REG slot j for each absolute PDCCH quadruplet m (36.211 §6.8.5).
+
+    Quadruplets are sub-block interleaved (36.212 §5.1.4.2.1 permutation,
+    nulls dropped) then cyclically shifted by N_ID^cell; slot j holds
+    w_bar(j) = w(perm[(j + N_ID) mod M]), so quadruplet m lands at
+    j = (perm_inv[m] - N_ID) mod M."""
+    v = rm._subblock(M, rm._P_CONV)
+    order = v[v >= 0]                       # out[j] = in[order[j]]
+    inv = np.empty(M, np.int64)
+    inv[order] = np.arange(M)
+    return (inv - cell_id) % M
+
+
 def dci_encode(payload: jnp.ndarray, rnti: int, E: int) -> jnp.ndarray:
     """(B, A) DCI bits -> (B, E) rate-matched coded bits.
 
@@ -157,32 +194,39 @@ def pdcch_cinit(subframe: int, cell_id: int) -> int:
     return (subframe << 9) + cell_id
 
 
+def _cce_sc_list(n_rb: int, cell_id: int, cce0: int, aggregation: int,
+                 n_phich_groups: int = 1) -> np.ndarray:
+    """Subcarrier indices (aggregation*9*4,) of CCEs [cce0, cce0+agg) after
+    the §6.8.5 quadruplet interleave + cell shift over the PDCCH REGs."""
+    regs = symbol0_regs(n_rb, cell_id)
+    avail = _pdcch_avail_regs(n_rb, cell_id, n_phich_groups)
+    n_cce = len(avail) // N_REG_PER_CCE
+    assert cce0 + aggregation <= n_cce, (
+        f"candidate [{cce0}, {cce0 + aggregation}) exceeds the control "
+        f"region's {n_cce} CCEs")
+    M = n_cce * N_REG_PER_CCE
+    pos = _quad_positions(M, cell_id)
+    sc_list = []
+    for m in range(cce0 * N_REG_PER_CCE,
+                   (cce0 + aggregation) * N_REG_PER_CCE):
+        sc_list.extend(regs[avail[pos[m]]].tolist())
+    return np.array(sc_list)
+
+
 def pdcch_tx_symbol0(n_rb: int, cell_id: int, subframe: int,
                      payload: jnp.ndarray, rnti: int,
-                     aggregation: int = 4, cce0: int = 0) -> jnp.ndarray:
-    """(B, A) DCI -> (B, n_sc) symbol-0 REs (PDCCH CCEs cce0..; PCFICH
-    REGs left empty for the caller)."""
+                     aggregation: int = 4, cce0: int = 0,
+                     n_phich_groups: int = 1) -> jnp.ndarray:
+    """(B, A) DCI -> (B, n_sc) symbol-0 REs (PDCCH CCEs cce0..; PCFICH/
+    PHICH REGs left empty for the caller)."""
     B = payload.shape[0]
     E = aggregation * BITS_PER_CCE
     e = dci_encode(payload, rnti, E)
     c = gold_sequence_np(pdcch_cinit(subframe, cell_id), E).astype(np.int8)
     syms = mod.modulate(jnp.bitwise_xor(e.astype(jnp.int8), jnp.asarray(c)), 2)
-    regs = symbol0_regs(n_rb, cell_id)
-    pc = set(pcfich_reg_indices(n_rb, cell_id).tolist())
-    avail = [i for i in range(len(regs)) if i not in pc]
-    n_cce = len(avail) // N_REG_PER_CCE
-    assert cce0 + aggregation <= n_cce, (
-        f"candidate [{cce0}, {cce0 + aggregation}) exceeds the control "
-        f"region's {n_cce} CCEs")
-    # quadruplet REG mapping for the chosen CCEs, cell-shifted
-    shift = cell_id % max(len(avail), 1)
-    sc_list = []
-    for q in range(E // 8):                             # 4 REs per REG
-        reg = avail[(cce0 * N_REG_PER_CCE + q + shift) % len(avail)]
-        sc_list.extend(regs[reg].tolist())
+    sc_list = _cce_sc_list(n_rb, cell_id, cce0, aggregation, n_phich_groups)
     out = jnp.zeros((B, 12 * n_rb), jnp.complex64)
-    return out.at[:, jnp.asarray(np.array(sc_list))].set(
-        syms[:, : len(sc_list)])
+    return out.at[:, jnp.asarray(sc_list)].set(syms[:, : len(sc_list)])
 
 
 def pdcch_blind_decode(y0: jnp.ndarray, h: jnp.ndarray, n_rb: int,
@@ -194,10 +238,7 @@ def pdcch_blind_decode(y0: jnp.ndarray, h: jnp.ndarray, n_rb: int,
     level (dci_decoding_procedure analog); returns (payload (B, A),
     found (B,), level (B,))."""
     B = y0.shape[0]
-    regs = symbol0_regs(n_rb, cell_id)
-    pc = set(pcfich_reg_indices(n_rb, cell_id).tolist())
-    avail = [i for i in range(len(regs)) if i not in pc]
-    shift = cell_id % max(len(avail), 1)
+    avail = _pdcch_avail_regs(n_rb, cell_id, 1)
     n_cce = len(avail) // N_REG_PER_CCE
 
     x_full = jnp.sum(jnp.conj(h) * y0, axis=1)
@@ -214,11 +255,7 @@ def pdcch_blind_decode(y0: jnp.ndarray, h: jnp.ndarray, n_rb: int,
                 pdcch_cinit(subframe, cell_id), E).astype(np.float32)
         for cand in range(min(n_cand, max(n_cce // al, 1))):
             cce0 = cand * al
-            sc_list = []
-            for q in range(E // 8):
-                reg = avail[(cce0 * N_REG_PER_CCE + q + shift) % len(avail)]
-                sc_list.extend(regs[reg].tolist())
-            idx = jnp.asarray(np.array(sc_list))
+            idx = jnp.asarray(_cce_sc_list(n_rb, cell_id, cce0, al))
             x = x_full[:, idx]
             mag = mag_full[:, idx]
             lls = llr_mod.llrs(x[:, None], mag[:, None], 2)[:, 0]

@@ -148,15 +148,16 @@ def dlsch_encode(cfg: LtePdschConfig, tb_bits: jnp.ndarray, rv: int = 0) -> jnp.
     return jnp.concatenate(out, axis=-1)
 
 
-def dlsch_decode(cfg: LtePdschConfig, llr_cw: jnp.ndarray, rv: int = 0,
-                 n_iters: int = 6):
-    """(B, G) codeword LLRs -> dict(tb_bits, tb_ok, cb_ok)."""
+def dlsch_deratematch(cfg: LtePdschConfig, llr_cw: jnp.ndarray,
+                      rv: int = 0) -> list:
+    """(B, G) codeword LLRs -> per-K-group (B, cnt, 3D) stream LLRs.
+
+    Split as a list so HARQ rounds with different rv can be soft-combined
+    (chase + incremental redundancy) by summing the lists elementwise."""
     p = cfg.seg()
     es = rm.cb_e_sizes(cfg.G, p.C, cfg.qm)
-    # split per CB, soft-combine into stream LLRs, batch-decode per K group
     offs = np.concatenate([[0], np.cumsum(es)])
-    groups_out, cb_oks = [], []
-    r = 0
+    streams, r = [], 0
     for K, cnt, first in seg._groups(p):
         D = K + 4
         lls = []
@@ -166,7 +167,18 @@ def dlsch_decode(cfg: LtePdschConfig, llr_cw: jnp.ndarray, rv: int = 0,
             le = llr_cw[:, offs[r]: offs[r + 1]]
             lls.append(rm.rate_match_rx(le, idx, 3 * D, F=F, D=D))
             r += 1
-        ld = jnp.stack(lls, axis=1)             # (B, cnt, 3D)
+        streams.append(jnp.stack(lls, axis=1))  # (B, cnt, 3D)
+    return streams
+
+
+def dlsch_decode_streams(cfg: LtePdschConfig, streams: list,
+                         n_iters: int = 6):
+    """Per-group stream LLRs (dlsch_deratematch output, possibly HARQ-
+    combined) -> dict(tb_bits, tb_ok, cb_ok)."""
+    p = cfg.seg()
+    groups_out, cb_oks = [], []
+    for (K, cnt, first), ld in zip(seg._groups(p), streams):
+        D = K + 4
         B = ld.shape[0]
         ld = ld.reshape(B * cnt, 3 * D)
         bits, _ = turbo.decode(ld[:, :D], ld[:, D: 2 * D], ld[:, 2 * D:],
@@ -181,6 +193,13 @@ def dlsch_decode(cfg: LtePdschConfig, llr_cw: jnp.ndarray, rv: int = 0,
              else tb_ok[:, None])
     L = CRC_POLYS["24A"][0]
     return {"tb_bits": tb_with_crc[..., :-L], "tb_ok": tb_ok, "cb_ok": cb_ok}
+
+
+def dlsch_decode(cfg: LtePdschConfig, llr_cw: jnp.ndarray, rv: int = 0,
+                 n_iters: int = 6):
+    """(B, G) codeword LLRs -> dict(tb_bits, tb_ok, cb_ok)."""
+    return dlsch_decode_streams(cfg, dlsch_deratematch(cfg, llr_cw, rv),
+                                n_iters=n_iters)
 
 
 # ---------------------------------------------------------------------------
@@ -259,8 +278,11 @@ def _interp_matrix(n_sc: int, pil_sc: tuple) -> np.ndarray:
 
 
 def pdsch_rx(cfg: LtePdschConfig, rx_samples: jnp.ndarray, rv: int = 0,
-             n_iters: int = 6):
-    """(B, n_rx, samples) subframe -> decoded TB dict (+llrs)."""
+             n_iters: int = 6, acc_streams: list | None = None):
+    """(B, n_rx, samples) subframe -> decoded TB dict (+llrs, +streams).
+
+    acc_streams: prior-round dlsch stream LLRs; this round's de-rate-matched
+    LLRs are added in (HARQ chase/IR combining, dlsim.c analog)."""
     fp = cfg.fp
     grid = ofdm_demodulate(fp, rx_samples)
     re_grid = extract_from_grid(fp, grid)       # (B, R, 14, n_sc)
@@ -275,6 +297,10 @@ def pdsch_rx(cfg: LtePdschConfig, rx_samples: jnp.ndarray, rv: int = 0,
     lls = llr_mod.llrs(x[:, None], mag[:, None], cfg.qm)[:, 0]
     c = jnp.asarray(gold_sequence_np(cfg.scrambling_cinit(), cfg.G).astype(np.float32))
     lls = lls * (1.0 - 2.0 * c)
-    out = dlsch_decode(cfg, lls, rv, n_iters=n_iters)
+    streams = dlsch_deratematch(cfg, lls, rv)
+    if acc_streams is not None:
+        streams = [a + s for a, s in zip(acc_streams, streams)]
+    out = dlsch_decode_streams(cfg, streams, n_iters=n_iters)
     out["llrs"] = lls
+    out["streams"] = streams
     return out

@@ -43,24 +43,12 @@ class LtePrachConfig:
 
     @property
     def roots(self) -> tuple:
-        """Physical roots u for logical indices i, i+1, ... (36.211
-        Table 5.7.2-4 pairs u with 839-u; generated arithmetically)."""
-        out = []
-        u = 1
-        seen = set()
-        logical = 0
-        target = set(range(self.root_sequence_index,
-                           self.root_sequence_index + self.n_roots))
-        while len(out) < self.n_roots and u < 839:
-            for cand in (u, 839 - u):
-                if cand in seen:
-                    continue
-                seen.add(cand)
-                if logical in target:
-                    out.append(cand)
-                logical += 1
-            u += 1
-        return tuple(out)
+        """Physical roots u for logical indices i, i+1, ... per 36.211
+        Table 5.7.2-4 (formats 0-3) / 5.7.2-5 (format 4), wrapping mod 838."""
+        from ..data.lte_tables import PRACH_ROOT_MAP_0_3, PRACH_ROOT_MAP_4
+        table = PRACH_ROOT_MAP_4 if self.format == 4 else PRACH_ROOT_MAP_0_3
+        return tuple(table[(self.root_sequence_index + i) % len(table)]
+                     for i in range(self.n_roots))
 
     @property
     def engine(self) -> nr_prach.PrachConfig:

@@ -145,8 +145,8 @@ def pusch_tx(cfg: LtePuschConfig, tb_bits: jnp.ndarray, rv: int = 0):
 
 
 def pusch_rx(cfg: LtePuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
-             n_iters: int = 6):
-    """(B, n_rx, samples) -> decoded TB dict."""
+             n_iters: int = 6, acc_streams: list | None = None):
+    """(B, n_rx, samples) -> decoded TB dict (HARQ combining as pdsch_rx)."""
     fp = cfg.fp
     grid = ofdm_demodulate(fp, rx_samples)
     re_grid = extract_from_grid(fp, grid)                # (B, R, 14, n_sc)
@@ -169,6 +169,12 @@ def pusch_rx(cfg: LtePuschConfig, rx_samples: jnp.ndarray, rv: int = 0,
     lls = llr_mod.llrs(xd[:, None], md[:, None], cfg.qm)[:, 0]
     c = jnp.asarray(gold_sequence_np(cfg.scrambling_cinit(), cfg.G).astype(np.float32))
     lls = lls * (1.0 - 2.0 * c)
-    out = ulsch_decode(cfg, lls, rv, n_iters=n_iters)
+    from .pdsch import dlsch_deratematch, dlsch_decode_streams
+    proxy = _coding_proxy(cfg)
+    streams = dlsch_deratematch(proxy, lls, rv)
+    if acc_streams is not None:
+        streams = [a + s for a, s in zip(acc_streams, streams)]
+    out = dlsch_decode_streams(proxy, streams, n_iters=n_iters)
     out["llrs"] = lls
+    out["streams"] = streams
     return out

@@ -32,7 +32,7 @@ def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str,
     @jax.jit
     def step(key, tb, snr_db):
         oks = []
-        llr_acc = None
+        acc = None                   # HARQ chase/IR soft-combining state
         for r in range(max_rounds):
             rv = HARQ_RV_SEQ[r % 4]
             key, k1, k2 = jax.random.split(key, 3)
@@ -41,7 +41,8 @@ def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str,
             sigma2 = sig * (cfg.fp.fft_size / cfg.fp.n_sc) * 10 ** (-snr_db / 10)
             rx, _ = apply_channel(model, k1, tx)
             rx = add_noise(k2, rx, sigma2)
-            out = rx_fn(cfg, rx, rv=rv, n_iters=n_iters)
+            out = rx_fn(cfg, rx, rv=rv, n_iters=n_iters, acc_streams=acc)
+            acc = out["streams"]
             oks.append(out["tb_ok"])
         return jnp.stack(oks)
 
