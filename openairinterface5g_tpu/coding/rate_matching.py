@@ -193,11 +193,48 @@ def fused_rate_match_rx(graph, llr_cw, rv: int, es: tuple, qm: int, F: int,
 
     harq_buffer: optional (B, C, cols*Z) previous-round buffer to combine.
     """
-    g = graph
     B = llr_cw.shape[0]
+    offs = np.concatenate([[0], np.cumsum(es)])
+
+    def seg_of_group(j0, j1, E):
+        seg = llr_cw[:, offs[j0]: offs[j1]].reshape(B, j1 - j0, E)
+        return deinterleave_rx(seg, qm)
+
+    return _fused_rx_body(graph, seg_of_group, B, llr_cw.dtype, es, rv, qm,
+                          F, harq_buffer, filler_llr, ncb)
+
+
+def fused_rate_match_rx_planes(graph, planes, rv: int, es: tuple, qm: int,
+                               F: int, harq_buffer=None,
+                               filler_llr: float = 1e4,
+                               ncb: int | None = None):
+    """Bit-plane LLRs (B, qm, G//qm) -> (B, C, cols*Z) mother-code LLRs.
+
+    Input layout: plane j holds e-domain positions (38.212 §5.4.2.2 bit
+    de-interleave groups by bit index), flat = re*L + l.  Because every
+    per-CB E is a multiple of L*qm, each CB's de-interleaved stream is a
+    CONTIGUOUS slice of each plane — so the whole recovery is reshape +
+    concat, no per-CB transpose (the fused Pallas frontend emits this
+    layout directly, ops/pusch_frontend_pallas.frontend_planes)."""
+    B = planes.shape[0]
+    offs = np.concatenate([[0], np.cumsum(es)])
+
+    def seg_of_group(j0, j1, E):
+        a = offs[j0] // qm
+        b = offs[j1] // qm
+        cols = [planes[:, j, a: b].reshape(B, j1 - j0, E // qm)
+                for j in range(qm)]
+        return jnp.stack(cols, axis=2).reshape(B, j1 - j0, E)
+
+    return _fused_rx_body(graph, seg_of_group, B, planes.dtype, es, rv, qm,
+                          F, harq_buffer, filler_llr, ncb)
+
+
+def _fused_rx_body(graph, seg_of_group, B, dtype, es, rv, qm, F,
+                   harq_buffer, filler_llr, ncb):
+    g = graph
     C = len(es)
     N = g.N
-    offs = np.concatenate([[0], np.cumsum(es)])
     groups = _cb_groups(tuple(es))
     group_runs = [_rx_runs(g.bg, g.Z, g.kc, rv, E, F, ncb)
                   for (_, _, E) in groups]
@@ -213,31 +250,29 @@ def fused_rate_match_rx(graph, llr_cw, rv: int, es: tuple, qm: int, F: int,
     if concat_ok:
         d_groups = []
         for (j0, j1, E), runs in zip(groups, group_runs):
-            seg = llr_cw[:, offs[j0]: offs[j1]].reshape(B, j1 - j0, E)
-            seg = deinterleave_rx(seg, qm)
+            seg = seg_of_group(j0, j1, E)
             pieces, pos = [], 0
             for (e0, d0, ln) in runs:
                 if d0 > pos:
-                    pieces.append(jnp.zeros((B, j1 - j0, d0 - pos), llr_cw.dtype))
+                    pieces.append(jnp.zeros((B, j1 - j0, d0 - pos), dtype))
                 pieces.append(seg[:, :, e0: e0 + ln])
                 pos = d0 + ln
             if pos < N:
-                pieces.append(jnp.zeros((B, j1 - j0, N - pos), llr_cw.dtype))
+                pieces.append(jnp.zeros((B, j1 - j0, N - pos), dtype))
             d_groups.append(jnp.concatenate(pieces, axis=-1))
         d = (d_groups[0] if len(d_groups) == 1
              else jnp.concatenate(d_groups, axis=1))
     else:
-        d = jnp.zeros((B, C, N), llr_cw.dtype)
+        d = jnp.zeros((B, C, N), dtype)
         for (j0, j1, E), runs in zip(groups, group_runs):
-            seg = llr_cw[:, offs[j0]: offs[j1]].reshape(B, j1 - j0, E)
-            seg = deinterleave_rx(seg, qm)
+            seg = seg_of_group(j0, j1, E)
             for (e0, d0, ln) in runs:
                 d = d.at[:, j0:j1, d0: d0 + ln].add(seg[:, :, e0: e0 + ln])
     if F:
         K = g.K
-        filler = jnp.zeros((N,), llr_cw.dtype).at[K - 2 * g.Z - F: K - 2 * g.Z].set(filler_llr)
+        filler = jnp.zeros((N,), dtype).at[K - 2 * g.Z - F: K - 2 * g.Z].set(filler_llr)
         d = d + filler[None, None]
-    full = jnp.concatenate([jnp.zeros((B, C, 2 * g.Z), llr_cw.dtype), d], axis=-1)
+    full = jnp.concatenate([jnp.zeros((B, C, 2 * g.Z), dtype), d], axis=-1)
     if harq_buffer is not None:
         full = full + harq_buffer
     return full

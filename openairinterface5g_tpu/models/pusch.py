@@ -53,6 +53,11 @@ class PuschConfig:
     prb_start: int = 0               # allocation offset within the BWP
     n_bwp_prb: int | None = None     # carrier/BWP width (defaults to n_prb)
     decoder_backend: str = "xla"     # 'xla' | 'pallas' (coding/backend.py)
+    frontend_backend: str = "auto"   # 'auto' | 'xla' | 'pallas': fused
+                                     # chest+equalize+LLR Pallas kernel
+                                     # (ops/pusch_frontend_pallas.py); auto =
+                                     # pallas on TPU when the config is on
+                                     # its fast path, xla otherwise
     decoder_first_iters: int = 0     # >0: two-phase early-stop decode — try
                                      # this many iters, run full n_iters only
                                      # if any CB fails parity (backend.py)
@@ -68,6 +73,10 @@ class PuschConfig:
     dmrs_max_len: int = 1            # 2 = double-symbol DMRS (ports 0..7);
                                      # dmrs_symbols then lists consecutive pairs
     dmrs_port0: int = 0              # first DMRS port (2nd codeword offset)
+    cdm_groups_no_data: int = 2      # DMRS CDM groups without data (38.212
+                                     # 6.2.2): 2 = DMRS symbols carry no
+                                     # data; 1 = data on the odd comb of
+                                     # each DMRS symbol (type-1 group 1)
     scrambling_q: int = 0            # codeword index q (38.211 6.3.1.1/7.3.1.1)
     tbs_lbrm: int | None = None      # LBRM reference TBS (38.212 5.4.2.1):
                                      # limits the circular buffer to
@@ -120,16 +129,31 @@ class PuschConfig:
         """PTRS subcarriers relative to the allocation start."""
         return refsig.ptrs_sc_indices(self.n_prb, self.ptrs_k, self.ptrs_re_offset)
 
+    @property
+    def uses_re_map(self) -> bool:
+        """True when data REs are a non-rectangular gather (PTRS holes or
+        data on the free comb of DMRS symbols)."""
+        return self.ptrs or self.cdm_groups_no_data == 1
+
     def data_re_map(self):
         """(symbol_ids, sc_ids) of data REs in mapping order (increasing
         symbol then subcarrier), excluding PTRS REs — PUSCH data is
-        rate-matched around PTRS (TS 38.211 §6.4.1.2.2)."""
+        rate-matched around PTRS (TS 38.211 §6.4.1.2.2) — and, with
+        cdm_groups_no_data == 1, including the odd (CDM group 1) comb of
+        each DMRS symbol (38.211 §6.4.1.1.3 type 1)."""
         M = 12 * self.n_prb
         ptrs_sc = set(self.ptrs_rel_sc().tolist()) if self.ptrs else set()
+        flag_by_sym = dict(zip(self.data_symbols, self.ptrs_symbol_flags))
         sym_ids, sc_ids = [], []
-        for i, s in enumerate(self.data_symbols):
+        for s in range(self.start_symbol, self.start_symbol + self.n_symbols):
+            if s in self.dmrs_symbols:
+                if self.cdm_groups_no_data == 1:
+                    for m in range(1, M, 2):
+                        sym_ids.append(s)
+                        sc_ids.append(m)
+                continue
             for m in range(M):
-                if self.ptrs_symbol_flags[i] and m in ptrs_sc:
+                if flag_by_sym.get(s) and m in ptrs_sc:
                     continue
                 sym_ids.append(s)
                 sc_ids.append(m)
@@ -137,17 +161,22 @@ class PuschConfig:
 
     @property
     def n_data_re(self) -> int:
-        """Data REs total (DMRS symbols carry no data: 2 CDM groups w/o data)."""
+        """Data REs total (incl. DMRS-symbol free-comb REs when only one
+        CDM group is reserved)."""
         n = len(self.data_symbols) * 12 * self.n_prb
         if self.ptrs:
             n -= sum(self.ptrs_symbol_flags) * len(self.ptrs_rel_sc())
+        if self.cdm_groups_no_data == 1:
+            n += len(self.dmrs_symbols) * 6 * self.n_prb
         return n
 
     @property
     def tbs(self) -> int:
         qm, r = self.qm_rate
+        dmrs_per_prb = (12 if self.cdm_groups_no_data == 2 else 6)
         return compute_tbs(qm, r * 1024, self.n_prb, self.n_symbols,
-                           12 * len(self.dmrs_symbols), 0, self.n_layers)
+                           dmrs_per_prb * len(self.dmrs_symbols), 0,
+                           self.n_layers)
 
     @property
     def G(self) -> int:
@@ -255,19 +284,21 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
     grid_re = jnp.zeros((B, cfg.n_layers, fp.symbols_per_slot, n_sc), jnp.complex64)
     m_per_sym = 12 * cfg.n_prb
     a0 = cfg.sc0
-    if cfg.ptrs:
+    if cfg.uses_re_map:
         assert not cfg.transform_precoding, "PTRS defined for CP-OFDM PUSCH"
-        assert uci_cfg is None, "UCI+PTRS multiplexing not combined yet"
+        assert uci_cfg is None, "UCI+RE-map multiplexing not combined yet"
         sym_ids, sc_ids = cfg.data_re_map()
         grid_re = grid_re.at[:, :, jnp.asarray(sym_ids),
                              jnp.asarray(sc_ids + a0)].set(layers)
         # PTRS pilots on layer 0 (single PTRS port), DMRS-seeded per symbol
-        psc = jnp.asarray(cfg.ptrs_rel_sc() + a0)
-        for i, s in enumerate(cfg.data_symbols):
-            if cfg.ptrs_symbol_flags[i]:
-                cinit_p = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
-                pilp = refsig.dmrs_sequence_np(cinit_p, len(cfg.ptrs_rel_sc()))
-                grid_re = grid_re.at[:, 0, s, psc].set(pilp)
+        if cfg.ptrs:
+            psc = jnp.asarray(cfg.ptrs_rel_sc() + a0)
+            for i, s in enumerate(cfg.data_symbols):
+                if cfg.ptrs_symbol_flags[i]:
+                    cinit_p = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
+                    pilp = refsig.dmrs_sequence_np(cinit_p,
+                                                   len(cfg.ptrs_rel_sc()))
+                    grid_re = grid_re.at[:, 0, s, psc].set(pilp)
     else:
         for i, s in enumerate(cfg.data_symbols):
             grid_re = grid_re.at[:, :, s, a0: a0 + m_per_sym].set(
@@ -435,11 +466,26 @@ def pusch_channel_estimate(cfg: PuschConfig, re_grid: jnp.ndarray,
 
 
 def pusch_equalize(cfg: PuschConfig, re_grid: jnp.ndarray, h_est, nvar):
-    """Equalize the data symbols with the estimated channel:
-    -> (x (B, P, S, M) compensated, mag) over ALL estimated ports."""
+    """Equalize the data REs with the estimated channel.
+
+    Rectangular allocations -> (x (B, P, S, M), mag) per symbol block;
+    RE-map allocations (PTRS holes / DMRS free-comb data) -> (x (B, P, N),
+    mag) gathered per data RE (block fading: h depends on SC only)."""
     B = re_grid.shape[0]
     m_per_sym = 12 * cfg.n_prb
     a0 = cfg.sc0
+    if cfg.uses_re_map:
+        sym_ids, sc_ids = cfg.data_re_map()
+        y = re_grid[:, :, jnp.asarray(sym_ids), jnp.asarray(sc_ids + a0)]
+        h_re = h_est[..., jnp.asarray(sc_ids)]          # (B, R, P, N)
+        if h_est.shape[2] == 1:
+            x, mag = eq.mrc_compensate(h_re[:, :, 0, :], y)
+            x, mag = x[:, None], mag[:, None]
+        elif h_est.shape[2] == 2:
+            x, mag = eq.mmse_equalize_2layer(h_re, y, nvar[:, None])
+        else:
+            x, mag = eq.zf_equalize(h_re, y, nvar[:, None, None, None])
+        return x, mag
     data_syms = list(cfg.data_symbols)
     y = re_grid[:, :, jnp.asarray(data_syms), a0: a0 + m_per_sym]
     h = h_est
@@ -465,7 +511,16 @@ def pusch_frontend(cfg: PuschConfig, re_grid: jnp.ndarray) -> jnp.ndarray:
     """RE grid (batch, n_rx, symbols, n_sc_bwp) -> descrambled codeword
     LLRs (B, G): channel estimation, MRC/MMSE equalization, PTRS phase
     tracking, LLR computation, descrambling.  The 'inner_rx' stage of the
-    reference (nr_ulsch_demodulation.c:1262) as one fused XLA program."""
+    reference (nr_ulsch_demodulation.c:1262) — one fused Pallas kernel on
+    the TPU fast path, one fused XLA program otherwise."""
+    if cfg.frontend_backend != "xla":
+        from ..ops import pusch_frontend_pallas as fe
+        on_cpu = jax.default_backend() == "cpu"
+        if fe.supported(cfg) and (cfg.frontend_backend == "pallas"
+                                  or not on_cpu):
+            return fe.frontend(cfg, re_grid, interpret=on_cpu)
+        assert cfg.frontend_backend == "auto", (
+            "frontend_backend='pallas' requires a fast-path config")
     h_est, nvar = pusch_channel_estimate(cfg, re_grid)
     x, mag = pusch_equalize(cfg, re_grid, h_est, nvar)
     return pusch_llrs(cfg, re_grid, x, mag, h_est)
@@ -477,9 +532,9 @@ def pusch_llrs(cfg: PuschConfig, re_grid: jnp.ndarray, x, mag,
     descrambled codeword LLRs (B, G) (PTRS tracking + LLR + descramble)."""
     qm, _ = cfg.qm_rate
     B = re_grid.shape[0]
-    m_per_sym = 12 * cfg.n_prb
     a0 = cfg.sc0
-    # back to codeword order: (B, L, S, M) -> LLRs -> layer demap
+    # back to codeword order: LLRs -> layer demap.  x arrives either as
+    # (B, L, S, M) symbol blocks or (B, L, N) gathered data REs (re-map).
     if cfg.ptrs:
         # common-phase-error tracking from PTRS REs
         # (nr_pusch_ptrs_processing:498 analog): per-symbol phasor from
@@ -487,7 +542,8 @@ def pusch_llrs(cfg: PuschConfig, re_grid: jnp.ndarray, x, mag,
         psc_rel = cfg.ptrs_rel_sc()
         psc = jnp.asarray(psc_rel + a0)
         hp = h_est[:, :, 0, :][..., jnp.asarray(psc_rel)]   # (B,R,P)
-        phases, cur = [], None
+        phase_by_sym = {}
+        cur = None
         for i, s in enumerate(cfg.data_symbols):
             if cfg.ptrs_symbol_flags[i]:
                 cinit_p = refsig.dmrs_cinit(cfg.slot, s, cfg.n_id)
@@ -496,19 +552,35 @@ def pusch_llrs(cfg: PuschConfig, re_grid: jnp.ndarray, x, mag,
                 z = jnp.sum(yps * jnp.conj(hp * pilp[None, None, :]),
                             axis=(1, 2))
                 cur = jnp.conj(z / jnp.maximum(jnp.abs(z), 1e-12))
-            phases.append(cur)
-        phase = jnp.stack(phases, axis=1)                   # (B, S)
-        x = x * phase[:, None, :, None]
-        # gather the data REs (rate-matched around PTRS positions)
-        sym_ids, sc_ids = cfg.data_re_map()
-        sym_pos = {s: i for i, s in enumerate(cfg.data_symbols)}
-        flat_idx = np.array([sym_pos[s] * m_per_sym + m
-                             for s, m in zip(sym_ids, sc_ids)], np.int64)
-        x_f = x.reshape(B, cfg.n_layers, -1)[:, :, jnp.asarray(flat_idx)]
-        mag_f = mag.reshape(B, cfg.n_layers, -1)[:, :, jnp.asarray(flat_idx)]
-    else:
-        x_f = x.reshape(B, cfg.n_layers, -1)
-        mag_f = mag.reshape(B, cfg.n_layers, -1)
+            phase_by_sym[s] = cur
+        # hold forward between PTRS symbols, backfill any leading gaps
+        # (DMRS or pre-first-PTRS symbols take the nearest phasor — the
+        # CPE is common across the slot)
+        all_syms = list(range(cfg.start_symbol,
+                              cfg.start_symbol + cfg.n_symbols))
+        held = None
+        for s in all_syms:
+            if phase_by_sym.get(s) is not None:
+                held = phase_by_sym[s]
+            else:
+                phase_by_sym[s] = held
+        for s in reversed(all_syms):
+            if phase_by_sym[s] is None:
+                phase_by_sym[s] = held
+            else:
+                held = phase_by_sym[s]
+        if x.ndim == 4:
+            phase = jnp.stack([phase_by_sym[s] for s in cfg.data_symbols],
+                              axis=1)                       # (B, S)
+            x = x * phase[:, None, :, None]
+        else:
+            sym_ids, _ = cfg.data_re_map()
+            ptab = jnp.stack([phase_by_sym[s] for s in all_syms], axis=1)
+            pos = {s: i for i, s in enumerate(all_syms)}
+            re_pos = np.array([pos[s] for s in sym_ids], np.int64)
+            x = x * jnp.take(ptab, jnp.asarray(re_pos), axis=1)[:, None, :]
+    x_f = x.reshape(B, cfg.n_layers, -1)
+    mag_f = mag.reshape(B, cfg.n_layers, -1)
     llrs = llr_mod.llrs(x_f, mag_f, qm)                 # (B, L, S*M*qm)
     # modulate/layer_map sent symbol i to layer i%L, so interleave per-symbol
     # qm-bit groups across layers to restore codeword order
@@ -523,19 +595,35 @@ def pusch_llrs(cfg: PuschConfig, re_grid: jnp.ndarray, x, mag,
 
 def pusch_rx_grid(cfg: PuschConfig, re_grid: jnp.ndarray, rv: int = 0,
                   n_iters: int = 20, harq_buffers=None, uci_cfg=None):
-    """RX from a (batch, n_rx, symbols, n_sc_bwp) resource-element grid."""
+    """RX from a (batch, n_rx, symbols, n_sc_bwp) resource-element grid.
+
+    On the fused-kernel fast path the frontend emits e-domain bit planes
+    that the rate-match recovery consumes as pure slices — the codeword-
+    order LLR vector never materializes (no transposes end to end)."""
+    if (uci_cfg is None and not cfg.llr_quant_bits
+            and cfg.frontend_backend != "xla"):
+        from ..ops import pusch_frontend_pallas as fe
+        on_cpu = jax.default_backend() == "cpu"
+        if fe.supported(cfg) and (cfg.frontend_backend == "pallas"
+                                  or not on_cpu):
+            planes = fe.frontend_planes(cfg, re_grid, interpret=on_cpu)
+            return pusch_decode_codeword(cfg, None, rv=rv, n_iters=n_iters,
+                                         harq_buffers=harq_buffers,
+                                         planes=planes)
     llr_cw = pusch_frontend(cfg, re_grid)
     return pusch_decode_codeword(cfg, llr_cw, rv=rv, n_iters=n_iters,
                                  harq_buffers=harq_buffers, uci_cfg=uci_cfg)
 
 
-def pusch_decode_codeword(cfg: PuschConfig, llr_cw: jnp.ndarray, rv: int = 0,
-                          n_iters: int = 20, harq_buffers=None, uci_cfg=None):
-    """Descrambled codeword LLRs (B, G) -> decoded TB dict (UCI demux +
-    rate recovery + batched LDPC decode + CRC)."""
+def pusch_decode_codeword(cfg: PuschConfig, llr_cw, rv: int = 0,
+                          n_iters: int = 20, harq_buffers=None, uci_cfg=None,
+                          planes=None):
+    """Descrambled codeword LLRs (B, G) — or e-domain bit planes
+    (B, qm, G//qm) via planes= — -> decoded TB dict (UCI demux + rate
+    recovery + batched LDPC decode + CRC)."""
     p, crc_name = cfg.seg_params()
     qm, _ = cfg.qm_rate
-    B = llr_cw.shape[0]
+    B = (planes if llr_cw is None else llr_cw).shape[0]
 
     ack_bits_out = None
     uci_out = None
@@ -554,9 +642,15 @@ def pusch_decode_codeword(cfg: PuschConfig, llr_cw: jnp.ndarray, rv: int = 0,
     # stays flat in C
     g = ldpc.build_graph(p.bg, p.Z)
     es = cfg.cb_e_sizes(g_data)
-    stacked = rate_matching.fused_rate_match_rx(
-        g, llr_cw, rv, tuple(es), qm, p.F, harq_buffer=harq_buffers,
-        ncb=cfg.ncb())
+    if planes is not None:
+        stacked = rate_matching.fused_rate_match_rx_planes(
+            g, planes, rv, tuple(es), qm, p.F, harq_buffer=harq_buffers,
+            ncb=cfg.ncb())
+        llr_cw = planes
+    else:
+        stacked = rate_matching.fused_rate_match_rx(
+            g, llr_cw, rv, tuple(es), qm, p.F, harq_buffer=harq_buffers,
+            ncb=cfg.ncb())
     new_harq = stacked                                  # (B, C, cols*Z)
     from ..coding.backend import decoder as ldpc_decoder
     bits_all, ok_all = ldpc_decoder(cfg.decoder_backend)(

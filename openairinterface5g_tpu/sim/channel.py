@@ -81,6 +81,8 @@ class ChannelModel:
     n_rx: int
     sample_rate: float
     delay_spread_ns: float = 30.0   # DS scaling for TDL profiles
+    max_doppler_hz: float = 0.0     # TS 38.104 G.3-1 HST Doppler trajectory
+    center_freq_hz: float = 3.5e9   # carrier (sets v from max_doppler_hz)
 
     def tap_delays_samples(self) -> np.ndarray:
         if self.name == "AWGN":
@@ -157,6 +159,48 @@ def apply_channel(
     Y = jnp.einsum("...rtf,...tf->...rf", Htap, Xtap)
     rx = jnp.fft.ifft(Y, axis=-1)[..., :n_s].astype(jnp.complex64)
     return rx, h
+
+
+def doppler_phasor(model: ChannelModel, key: jax.Array, n_samples: int,
+                   t0: float = 0.0) -> jnp.ndarray:
+    """(n_samples,) time-varying Doppler phasor, TS 38.104 Table G.3-1.
+
+    The reference's get_cexp_doppler (random_channel.c:460): a high-speed
+    train passes the site at v = f_D*c/f_c; the instantaneous Doppler
+    fs(t) = f_D*cos(theta(t)) follows the piecewise HST trajectory with
+    Dmin=2 m, Ds=300 m, and the output phasor exp(j(2*pi*fs(t)*t + phi0))
+    multiplies the faded signal (multipath_channel.c:235)."""
+    d_min, d_s = 2.0, 300.0
+    c = 299792458.0
+    f_d = model.max_doppler_hz
+    v = f_d * c / model.center_freq_hz
+    t = t0 + jnp.arange(n_samples) / model.sample_rate
+    x1 = d_s / 2 - v * t
+    x2 = -1.5 * d_s + v * t
+    cos1 = x1 / jnp.sqrt(d_min * d_min + x1 * x1)
+    cos2 = x2 / jnp.sqrt(d_min * d_min + x2 * x2)
+    cos3 = jnp.cos(jnp.mod(t, 2 * d_s / v))
+    cos_theta = jnp.where(t <= d_s / v, cos1,
+                          jnp.where(t <= 2 * d_s / v, cos2, cos3))
+    phi0 = jax.random.uniform(key, (), minval=0.0, maxval=2 * np.pi)
+    return jnp.exp(1j * (2 * np.pi * f_d * cos_theta * t + phi0)
+                   ).astype(jnp.complex64)
+
+
+def apply_cfo(rx: jnp.ndarray, sample_rate: float, cfo_hz: float,
+              t0: float = 0.0, phase0: float = 0.0) -> jnp.ndarray:
+    """Carrier frequency offset: rx * exp(j(2*pi*cfo*t + phase0)) over the
+    last (time) axis.  The rfsimulator/do_DL_sig freq_offset analog."""
+    t = t0 + jnp.arange(rx.shape[-1]) / sample_rate
+    return rx * jnp.exp(1j * (2 * np.pi * cfo_hz * t + phase0)
+                        ).astype(jnp.complex64)
+
+
+def apply_phase_noise(rx: jnp.ndarray, sample_rate: float,
+                      fd_hz: float = 300.0, t0: float = 0.0) -> jnp.ndarray:
+    """Reference 'linear phase noise model' (phase_noise.c): a 300 Hz
+    continuous rotation applied per sample to the received signal."""
+    return apply_cfo(rx, sample_rate, fd_hz, t0)
 
 
 def add_noise(key: jax.Array, rx: jnp.ndarray, sigma2: float) -> jnp.ndarray:

@@ -21,14 +21,19 @@ import numpy as np
 HARQ_RV_SEQ = (0, 2, 3, 1)  # nr_rv_round_map (gNB_scheduler.c:56)
 
 
-def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str, delay_spread_ns: float = 30.0):
+def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str,
+               delay_spread_ns: float = 30.0, time_shift: int = 0,
+               doppler_hz: float = 0.0, cfo_hz: float = 0.0):
     import jax
     import jax.numpy as jnp
 
     from ..models.pusch import pusch_rx, pusch_tx
-    from ..sim.channel import ChannelModel, add_noise, apply_channel
+    from ..sim.channel import (ChannelModel, add_noise, apply_channel,
+                               apply_cfo, doppler_phasor)
 
-    model = ChannelModel(channel_name, cfg.n_layers, cfg.n_rx, cfg.fp.sample_rate, delay_spread_ns=delay_spread_ns)
+    model = ChannelModel(channel_name, cfg.n_layers, cfg.n_rx,
+                         cfg.fp.sample_rate, delay_spread_ns=delay_spread_ns,
+                         max_doppler_hz=doppler_hz)
 
     @jax.jit
     def step(key, tb, snr_db):
@@ -41,7 +46,7 @@ def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str, delay_spre
         oks = []
         harq = None
         for r, rv in enumerate(HARQ_RV_SEQ[:max_rounds]):
-            key, k1, k2 = jax.random.split(key, 3)
+            key, k1, k2, k3 = jax.random.split(key, 4)
             tx, _ = pusch_tx(cfg, tb, rv=rv)
             # per-TX-antenna signal power: the reference's ulsim noise is
             # relative to ONE antenna's amplitude (ulsim.c:1190 AMP scale),
@@ -49,6 +54,15 @@ def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str, delay_spre
             sig = jnp.mean(jnp.sum(jnp.abs(tx) ** 2, axis=-2)) / cfg.n_layers
             sigma2 = sig * (cfg.fp.fft_size / cfg.fp.n_sc) * 10 ** (-snr_db / 10)
             rx, _ = apply_channel(model, k1, tx)
+            if doppler_hz > 0.0:
+                rx = rx * doppler_phasor(model, k3, rx.shape[-1])
+            if cfo_hz != 0.0:
+                rx = apply_cfo(rx, cfg.fp.sample_rate, cfo_hz)
+            if time_shift:
+                # receive-window offset (ulsim.c -d): delay the slot by
+                # `time_shift` samples inside the RX buffer
+                rx = jnp.pad(rx, ((0, 0), (0, 0), (time_shift, 0))
+                             )[..., : rx.shape[-1]]
             rx = add_noise(k2, rx, sigma2)
             out = pusch_rx(cfg, rx, rv=rv, n_iters=n_iters, harq_buffers=harq)
             harq = out["harq_buffers"]
@@ -60,11 +74,14 @@ def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str, delay_spre
 
 def run_sweep(cfg, snrs, n_trials: int, batch: int, max_rounds: int = 1,
               n_iters: int = 20, channel: str = "AWGN", eff_tp_check: float = 70.0,
-              seed: int = 42, verbose: bool = True, delay_spread_ns: float = 30.0):
+              seed: int = 42, verbose: bool = True, delay_spread_ns: float = 30.0,
+              time_shift: int = 0, doppler_hz: float = 0.0, cfo_hz: float = 0.0):
     import jax
     import jax.numpy as jnp
 
-    step = build_step(cfg, max_rounds, n_iters, channel, delay_spread_ns)
+    step = build_step(cfg, max_rounds, n_iters, channel, delay_spread_ns,
+                      time_shift=time_shift, doppler_hz=doppler_hz,
+                      cfo_hz=cfo_hz)
     rng = np.random.default_rng(seed)
     results = []
     all_pass = True
@@ -114,7 +131,7 @@ def main(argv=None):
     ap.add_argument("-S", "--snr1", type=float, default=None)
     ap.add_argument("--snr-step", type=float, default=1.0)
     ap.add_argument("-n", "--n-trials", type=int, default=100)
-    ap.add_argument("-b", "--batch", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("-u", "--mu", type=int, default=1)
     ap.add_argument("-W", "--n-layers", type=int, default=1)
     ap.add_argument("-y", "--n-rx", type=int, default=1)
@@ -122,8 +139,22 @@ def main(argv=None):
                     choices=["AWGN", "TDLA", "TDLB", "TDLC", "EPA", "EVA", "ETU"])
     ap.add_argument("-M", "--max-rounds", type=int, default=1)
     ap.add_argument("--delay-spread", type=float, default=30.0, help="TDL delay spread (ns)")
-    ap.add_argument("-D", "--dmrs-add-pos", type=int, default=0, choices=[0, 1],
-                    help="additional DMRS position (0: single at sym 2; 1: add sym 11)")
+    ap.add_argument("-D", "--dmrs-add-pos", type=int, default=None, choices=[0, 1],
+                    help="legacy alias for -U 0,<pos>,1,2")
+    ap.add_argument("-U", "--dmrs", type=str, default=None,
+                    help="DMRS config 'mappingType{0=A,1=B},addPos{0-3},"
+                         "configType{1},cdmGroupsNoData{1,2}' (ulsim.c -U)")
+    ap.add_argument("-T", "--ptrs", type=str, default=None,
+                    help="PTRS 'L_index{0,1,2},K{2,4}': L_PTRS = 1<<L_index "
+                         "(ulsim.c -T)")
+    ap.add_argument("-a", "--start-symbol", type=int, default=0)
+    ap.add_argument("-b", "--n-symbols", type=int, default=14)
+    ap.add_argument("-d", "--time-shift", type=int, default=0,
+                    help="delay the slot by N samples in the RX window")
+    ap.add_argument("--doppler", type=float, default=0.0,
+                    help="max Doppler (Hz), TS 38.104 G.3-1 HST trajectory")
+    ap.add_argument("--cfo", type=float, default=0.0,
+                    help="carrier frequency offset (Hz) applied at RX")
     ap.add_argument("--chest-window", type=int, default=8)
     ap.add_argument("-I", "--n-iters", type=int, default=20)
     ap.add_argument("-t", "--eff-tp-check", type=float, default=70.0)
@@ -136,22 +167,46 @@ def main(argv=None):
 
     from ..models.pusch import PuschConfig
 
+    from ..data.tables import pusch_dmrs_symbols
+
+    # -U mappingType,addPos,configType,cdmGroupsNoData (ulsim.c:444)
+    mapping, add_pos, cdm = "A", 0, 2
+    if args.dmrs_add_pos is not None:
+        add_pos = args.dmrs_add_pos
+    if args.dmrs is not None:
+        f = [int(v) for v in args.dmrs.split(",")]
+        mapping = "B" if f[0] == 1 else "A"
+        add_pos = f[1] if len(f) > 1 else 0
+        assert len(f) < 3 or f[2] == 1, "DMRS config type 2 not supported"
+        cdm = f[3] if len(f) > 3 else 2
+    dmrs_syms = pusch_dmrs_symbols(mapping, add_pos, args.start_symbol,
+                                   args.n_symbols)
+    ptrs_kw = {}
+    if args.ptrs is not None:
+        l_idx, k = [int(v) for v in args.ptrs.split(",")]
+        ptrs_kw = dict(ptrs=True, ptrs_l=1 << l_idx, ptrs_k=k)
+
     cfg = PuschConfig(mu=args.mu, n_prb=args.n_prb, mcs=args.mcs,
                       mcs_table=args.mcs_table, n_layers=args.n_layers,
                       n_rx=args.n_rx, decoder_backend=args.backend,
-                      dmrs_symbols=(2, 11) if args.dmrs_add_pos else (2,),
-                      chest_window=args.chest_window)
+                      start_symbol=args.start_symbol, n_symbols=args.n_symbols,
+                      dmrs_symbols=dmrs_syms, cdm_groups_no_data=cdm,
+                      chest_window=args.chest_window, **ptrs_kw)
     p, _ = cfg.seg_params()
     print(f"PUSCH sim: {args.n_prb} PRB mu={args.mu} MCS {args.mcs} "
           f"(Qm={cfg.qm_rate[0]} R={cfg.qm_rate[1]:.3f}) {args.n_layers}x{args.n_rx} "
-          f"TBS {cfg.tbs} C={p.C} Z={p.Z} G={cfg.G} channel={args.channel}")
+          f"TBS {cfg.tbs} C={p.C} Z={p.Z} G={cfg.G} channel={args.channel} "
+          f"dmrs={dmrs_syms} cdm={cdm}"
+          + (f" ptrs=L{cfg.ptrs_l}K{cfg.ptrs_k}" if cfg.ptrs else ""))
     snr1 = args.snr1 if args.snr1 is not None else args.snr0
     snrs = np.arange(args.snr0, snr1 + 1e-9, args.snr_step)
     batch = args.batch or max(1, min(64, args.n_trials))
     results, ok = run_sweep(cfg, snrs, args.n_trials, batch,
                             max_rounds=args.max_rounds, n_iters=args.n_iters,
                             channel=args.channel, eff_tp_check=args.eff_tp_check,
-                            delay_spread_ns=args.delay_spread)
+                            delay_spread_ns=args.delay_spread,
+                            time_shift=args.time_shift,
+                            doppler_hz=args.doppler, cfo_hz=args.cfo)
     if args.json:
         print(json.dumps(results))
     # same pass string the reference CI greps for (test_case_list.xml)
