@@ -42,7 +42,9 @@ def main():
                       decoder_backend="pallas", decoder_first_iters=4)
     B = 8   # slots per step (deeper batch amortizes per-op dispatch cost;
             # still within the reference's sl_ahead≈6-slot pipeline depth)
-    n_rep = 32
+    n_rep = 128  # timed steps: amortizes the tunnel's fixed ~30 ms
+                 # dispatch+fetch so the figure reflects device throughput
+                 # (slope-validated; production has no tunnel)
 
     rng = np.random.default_rng(0)
     tb = jnp.asarray(rng.integers(0, 2, size=(B, cfg.tbs)).astype(np.int8))

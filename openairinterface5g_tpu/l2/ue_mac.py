@@ -68,10 +68,15 @@ class UeMac:
                 "grant": rar.get("ul_grant")}
 
     def on_contention_resolution(self, rnti_echo: int, payload_echo: bytes):
-        """Msg4: C-RNTI assignment if our msg3 is echoed (38.321 §5.1.5)."""
+        """Msg4: C-RNTI assignment if our msg3 is echoed (38.321 §5.1.5).
+
+        The UE Contention Resolution Identity MAC CE carries the first
+        48 bits of the msg3 CCCH SDU, so the match is on the echoed
+        prefix (38.321 §6.1.3.3)."""
         if self.state != "RA_MSG3":
             return False
-        if payload_echo[: len(self.msg3_payload)] != self.msg3_payload:
+        n = min(len(payload_echo), len(self.msg3_payload))
+        if n == 0 or payload_echo[:n] != self.msg3_payload[:n]:
             self.state = "IDLE"      # contention lost -> retry
             return False
         self.c_rnti = rnti_echo or self.tc_rnti

@@ -23,7 +23,9 @@ import numpy as np
 
 from ..config import make_frame_params
 from ..phy.ofdm import extract_from_grid, map_to_grid, ofdm_demodulate, ofdm_modulate
+from .csirs import CsirsConfig
 from .pbch import PbchConfig, ssb_generate
+from .pdcch import DciConfig
 from .pdsch import PdschConfig
 from .pucch import Pucch0Config, Pucch2Config, pucch0_rx, pucch2_rx
 from .pusch import PuschConfig, pusch_rx_grid, pusch_tx_grid
@@ -38,12 +40,30 @@ class SsbPdu:
 
 
 @dataclasses.dataclass(frozen=True)
+class PdcchPdu:
+    """nfapi_nr_dl_tti_pdcch_pdu analog: one DCI in a CORESET placed at
+    prb_start within the BWP (reference nr_generate_dci_top in-slot,
+    phy_procedures_nr_gNB.c:214)."""
+    cfg: "DciConfig"
+    prb_start: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class CsirsPdu:
+    """nfapi_nr_dl_tti_csi_rs_pdu analog (nr_csi_rs.c in-slot TX)."""
+    cfg: "CsirsConfig"
+    prb_start: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
 class SlotDlConfig:
     """DL_TTI.request analog: what to transmit this slot."""
     mu: int
     n_bwp_prb: int
     pdsch: tuple = ()        # tuple[PdschConfig] with disjoint PRB ranges
     ssb: SsbPdu | None = None
+    pdcch: tuple = ()        # tuple[PdcchPdu]; payloads via dci_payloads
+    csirs: tuple = ()        # tuple[CsirsPdu]
     slot: int = 0
 
 
@@ -61,16 +81,20 @@ class SlotUlConfig:
 
 
 def gnb_dl_slot(dl: SlotDlConfig, tb_payloads: Sequence[jnp.ndarray],
-                mib_payload: jnp.ndarray | None = None):
+                mib_payload: jnp.ndarray | None = None,
+                dci_payloads: Sequence[jnp.ndarray] = ()):
     """Compose + transmit one DL slot.
 
-    tb_payloads[i]: (B, TBS_i) bits for pdsch[i]; mib_payload: (B, 32).
+    tb_payloads[i]: (B, TBS_i) bits for pdsch[i]; mib_payload: (B, 32);
+    dci_payloads[i]: (B, A_i) bits for pdcch[i].
     Returns (samples (B, n_ant, n_samp), per-pdu scrambled bits).
     """
     fp = make_frame_params(dl.mu, dl.n_bwp_prb)
-    assert dl.pdsch or dl.ssb is not None
+    assert dl.pdsch or dl.ssb is not None or dl.pdcch or dl.csirs
     if dl.pdsch:
         B = tb_payloads[0].shape[0]
+    elif dl.pdcch:
+        B = dci_payloads[0].shape[0]
     else:
         m0 = (mib_payload[0] if isinstance(mib_payload, (tuple, list))
               else mib_payload)
@@ -94,6 +118,19 @@ def gnb_dl_slot(dl: SlotDlConfig, tb_payloads: Sequence[jnp.ndarray],
             sc0 = 12 * pdu.prb_offset
             s0 = pdu.start_symbol
             grid_re = grid_re.at[:, 0, s0: s0 + 4, sc0: sc0 + 240].add(tile)
+    for pdu, payload in zip(dl.pdcch, dci_payloads):
+        from .pdcch import pdcch_tx_grid
+        row = pdcch_tx_grid(pdu.cfg, payload, dl.slot)   # (B, 12*cs_prb)
+        sc0 = 12 * pdu.prb_start
+        s0 = pdu.cfg.start_symbol
+        grid_re = grid_re.at[:, 0, s0, sc0: sc0 + row.shape[-1]].add(row)
+    for pdu in dl.csirs:
+        from .csirs import csirs_tx_grid
+        width = 12 * pdu.cfg.n_prb
+        row = csirs_tx_grid(pdu.cfg, B, width)           # (B, 12*n_prb)
+        sc0 = 12 * pdu.prb_start
+        grid_re = grid_re.at[:, 0, pdu.cfg.symbol,
+                             sc0: sc0 + width].add(row)
     grid = map_to_grid(fp, grid_re)
     return ofdm_modulate(fp, grid, dl.slot), debug_bits
 

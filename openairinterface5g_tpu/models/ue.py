@@ -61,7 +61,8 @@ class UeConfig:
     n_rx: int = 1
 
 
-def ue_receive_slot(ue: UeConfig, re_grid: jnp.ndarray, n_iters: int = 10):
+def ue_receive_slot(ue: UeConfig, re_grid: jnp.ndarray, n_iters: int = 10,
+                    slot: int = 0):
     """Control+data receive: blind-decode DCI, configure + run PDSCH RX.
 
     re_grid: (B, n_rx, symbols, n_sc_bwp).  All trials in the batch must
@@ -70,7 +71,8 @@ def ue_receive_slot(ue: UeConfig, re_grid: jnp.ndarray, n_iters: int = 10):
     """
     coreset = re_grid[:, :, ue.coreset_symbol, : 12 * ue.coreset_prb]
     dci_bits, found, al = blind_search(coreset, DCI_A, ue.rnti,
-                                       n_id=ue.n_id, coreset_prb=ue.coreset_prb)
+                                       n_id=ue.n_id, slot=slot,
+                                       coreset_prb=ue.coreset_prb)
     found_np = np.asarray(found)
     if not found_np.any():
         return {"dci_found": found, "grant": None, "tb_bits": None,

@@ -70,3 +70,52 @@ def test_ul_slot_pusch_plus_pucch():
     np.testing.assert_array_equal(np.asarray(out["rx_data"][0]), tb)
     np.testing.assert_array_equal(np.asarray(out["uci0"][0]["uci"]), ack)
     np.testing.assert_array_equal(np.asarray(out["uci2"][0]["uci"]), csi)
+
+
+def test_dl_slot_full_composition_with_dci_and_csirs():
+    """SSB + PDCCH (grant DCI) + CSI-RS + PDSCH in ONE composed slot; the
+    UE blind-decodes the in-slot DCI, configures its PDSCH receiver from
+    the grant, decodes the TB, and measures CSI-RS
+    (phy_procedures_nr_gNB.c:157-254 in-slot TX analog)."""
+    from openairinterface5g_tpu.config import make_frame_params
+    from openairinterface5g_tpu.models.csirs import CsirsConfig, csi_measure
+    from openairinterface5g_tpu.models.gnb import CsirsPdu, PdcchPdu
+    from openairinterface5g_tpu.models.pdcch import DciConfig
+    from openairinterface5g_tpu.models.ue import (
+        DCI_A, UeConfig, encode_grant, ue_receive_slot)
+    from openairinterface5g_tpu.phy.ofdm import extract_from_grid, ofdm_demodulate
+
+    B = 2
+    bwp = 48
+    rnti = 0x4321
+    # CSI-RS rides symbol 1, between the CORESET (0) and the PDSCH
+    # (2..13) — PDSCH rate-match around CSI-RS REs is not modeled, so
+    # allocations stay disjoint
+    pdsch = PdschConfig(mu=1, n_prb=12, prb_start=24, n_bwp_prb=bwp, mcs=9,
+                        rnti=rnti, start_symbol=2, n_symbols=12,
+                        dmrs_symbols=(2,))
+    rng = np.random.default_rng(5)
+    tb = rng.integers(0, 2, (B, pdsch.tbs)).astype(np.int8)
+    mib = rng.integers(0, 2, (B, 32)).astype(np.int8)
+    grant = encode_grant(mcs=9, prb_start=24, n_prb=12)
+    dci = jnp.asarray(np.tile(grant, (B, 1)))
+    dl = SlotDlConfig(
+        mu=1, n_bwp_prb=bwp,
+        pdsch=(pdsch,),
+        ssb=SsbPdu(PbchConfig(n_id=0), prb_offset=1, start_symbol=8),
+        pdcch=(PdcchPdu(DciConfig(A=DCI_A, rnti=rnti, coreset_prb=24,
+                                  aggregation_level=4, start_symbol=0)),),
+        csirs=(CsirsPdu(CsirsConfig(n_prb=48, symbol=1)),))
+    tx, _ = gnb_dl_slot(dl, [jnp.asarray(tb)], jnp.asarray(mib),
+                        dci_payloads=[dci])
+    fp = make_frame_params(1, bwp)
+    re_grid = extract_from_grid(fp, ofdm_demodulate(fp, tx, 0))
+    ue = UeConfig(mu=1, n_bwp_prb=bwp, rnti=rnti, coreset_prb=24)
+    out = ue_receive_slot(ue, re_grid)
+    assert out["grant"] is not None
+    assert out["grant"]["mcs"] == 9 and out["grant"]["n_prb"] == 12
+    assert bool(np.asarray(out["tb_ok"]).all())
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+    meas = csi_measure(CsirsConfig(n_prb=48, symbol=1),
+                       re_grid[:, :, 1, :])
+    assert float(np.asarray(meas["snr_db"]).min()) > 25.0
