@@ -236,6 +236,12 @@ def pucch2_rx(cfg: Pucch2Config, rx: jnp.ndarray, list_size: int = 8):
         pil = refsig.dmrs_sequence(cinit_d, len(dmrs_sc))
         yp = rx[:, :, s][..., jnp.asarray(dmrs_sc)]
         hp = ls_estimate(yp, pil)                     # (B, R, P)
+        # pilot smoothing (reference filt16 interpolation-LUT analog):
+        # a raw single-pilot LS estimate costs ~3 dB at the F2 operating
+        # points; pilots are 3 SCs apart so window 8 spans ~2 PRB
+        from ..phy.channel_estimation import freq_average
+        if len(dmrs_sc) > 2:
+            hp = freq_average(hp, window=min(8, len(dmrs_sc)))
         # map each data SC to nearest pilot (pilots at 1,4,7,10 per PRB)
         nearest = np.abs(data_sc[None, :] - dmrs_sc[:, None]).argmin(axis=0)
         hs.append(hp[..., jnp.asarray(nearest)])

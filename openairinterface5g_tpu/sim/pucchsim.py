@@ -16,7 +16,7 @@ import numpy as np
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="PUCCH simulator (nr_pucchsim analog)")
-    ap.add_argument("-f", "--format", type=int, default=0, choices=[0, 2])
+    ap.add_argument("-f", "--format", type=int, default=0, choices=[0, 1, 2, 3, 4])
     ap.add_argument("-b", "--n-bits", type=int, default=1)
     ap.add_argument("-P", "--n-prb", type=int, default=4)
     ap.add_argument("-s", "--snr0", type=float, default=-2.0)
@@ -36,11 +36,54 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..models.pucch import (
-        Pucch0Config, Pucch2Config, pucch0_rx, pucch0_tx, pucch2_rx, pucch2_tx,
+        Pucch0Config, Pucch1Config, Pucch2Config, Pucch34Config,
+        pucch0_rx, pucch0_tx, pucch1_rx, pucch1_tx, pucch2_rx, pucch2_tx,
+        pucch34_rx, pucch34_tx,
     )
 
     batch = min(args.n_trials, 64)
-    if args.format == 0:
+
+    def _channel(kh1, kh2, kn1, kn2, tx, snr_db):
+        if args.fading:
+            h = (jax.random.normal(kh1, (batch, args.n_rx, 1, 1))
+                 + 1j * jax.random.normal(kh2, (batch, args.n_rx, 1, 1))) / np.sqrt(2)
+        else:
+            phi = jax.random.uniform(kh1, (batch, args.n_rx, 1, 1),
+                                     maxval=2 * np.pi)
+            h = jnp.exp(1j * phi)
+        sigma = 10 ** (-snr_db / 20)
+        sh = (batch, args.n_rx) + tx.shape[1:]
+        noise = (jax.random.normal(kn1, sh)
+                 + 1j * jax.random.normal(kn2, sh)) / np.sqrt(2)
+        return (h * tx[:, None] + sigma * noise).astype(jnp.complex64)
+
+    if args.format == 1:
+        cfg = Pucch1Config(n_bits=args.n_bits, n_symbols=14)
+        print(f"PUCCH F1 sim: {args.n_bits} bits 14 syms, n_rx={args.n_rx}")
+
+        @jax.jit
+        def step(key, snr_db):
+            ku, kh1, kh2, kn1, kn2 = jax.random.split(key, 5)
+            uci = jax.random.randint(ku, (batch,), 0, 1 << args.n_bits)
+            rx = _channel(kh1, kh2, kn1, kn2, pucch1_tx(cfg, uci), snr_db)
+            got, _ = pucch1_rx(cfg, rx)
+            return got != uci
+    elif args.format in (3, 4):
+        cfg = Pucch34Config(fmt=args.format, n_bits=args.n_bits,
+                            n_prb=args.n_prb if args.format == 3 else 1,
+                            n_symbols=14)
+        print(f"PUCCH F{args.format} sim: {args.n_bits} bits "
+              f"{cfg.n_prb} PRB 14 syms, n_rx={args.n_rx}")
+
+        @jax.jit
+        def step(key, snr_db):
+            ku, kh1, kh2, kn1, kn2 = jax.random.split(key, 5)
+            uci = jax.random.bernoulli(ku, 0.5, (batch, args.n_bits)
+                                       ).astype(jnp.int8)
+            rx = _channel(kh1, kh2, kn1, kn2, pucch34_tx(cfg, uci), snr_db)
+            got, ok = pucch34_rx(cfg, rx)
+            return jnp.logical_or(~ok, jnp.any(got != uci, axis=-1))
+    elif args.format == 0:
         cfg = Pucch0Config(n_bits=args.n_bits, n_symbols=1)
         print(f"PUCCH F0 sim: {args.n_bits} bits, n_rx={args.n_rx}")
 
@@ -83,8 +126,10 @@ def main(argv=None):
             got, ok = pucch2_rx(cfg, rx)
             return jnp.logical_or(~ok, jnp.any(got != uci, axis=-1))
 
+    # reference semantics (pucchsim.c:537,736): sweep snr0..snr1 upward in
+    # 1 dB steps, pass at the FIRST point meeting the target error rate
     snr1 = args.snr1 if args.snr1 is not None else args.snr0
-    ok_all = True
+    passed = False
     for snr in np.arange(args.snr0, snr1 + 1e-9, args.snr_step):
         rng = np.random.default_rng(23)
         n_err = n_done = 0
@@ -98,10 +143,11 @@ def main(argv=None):
         rate = n_err / n_done
         print(f"SNR {snr:.2f} dB: UCI error rate {rate:.6f} ({n_err}/{n_done}) "
               f"in {time.time()-t0:.1f}s")
-        if rate > args.target:
-            ok_all = False
-    print("PUCCH test OK" if ok_all else "PUCCH test NOK")
-    return 0 if ok_all else 1
+        if rate <= args.target:
+            passed = True
+            break
+    print("PUCCH test OK" if passed else "PUCCH test NOK")
+    return 0 if passed else 1
 
 
 if __name__ == "__main__":

@@ -79,3 +79,46 @@ def test_prach_td_no_signal_no_detection():
                       ).astype(np.complex64))
     out = prach_td_rx(cfg, rx)
     assert not bool(np.asarray(out["detected"]).any())
+
+
+def test_restricted_type_a_shifts_properties():
+    """38.211 §6.3.3.1 restricted type A: shifts stay inside L_RA, are
+    N_CS-separated, and no preamble's Doppler alias (+-d_u) lands in
+    another preamble's zero-correlation zone."""
+    from openairinterface5g_tpu.models.prach import _du, cyclic_shifts
+    L, ncs = 839, 68            # zeroCorrelationZoneConfig 8, type A
+    checked = 0
+    # logical roots 116+ have d_u >= N_CS (the table is CM-ordered;
+    # early roots are unusable in restricted mode, like the reference)
+    from openairinterface5g_tpu.models.prach import nr_roots
+    for u in nr_roots(116, 8, 839):
+        cvs = cyclic_shifts(u, L, ncs, restricted=1)
+        if not cvs:
+            continue
+        checked += 1
+        du = _du(u, L)
+        assert all(0 <= c < L for c in cvs)
+        zones = [(c, c + ncs) for c in cvs]
+        for c in cvs:
+            for alias in ((c + du) % L, (c - du) % L):
+                for (a, b) in zones:
+                    if (a, b) == (c, c + ncs):
+                        continue
+                    assert not (a <= alias < b), (u, c, alias, (a, b))
+    assert checked >= 4
+
+
+def test_restricted_detection_roundtrip():
+    """TX/RX across every restricted-set preamble of a 2-root config."""
+    import jax.numpy as jnp
+    from openairinterface5g_tpu.models.prach import (PrachConfig, nr_roots,
+                                                     prach_rx, prach_tx)
+    cfg = PrachConfig(l_ra=839, roots=nr_roots(116, 4, 839), n_cs=68,
+                      restricted=1, threshold=8.0)
+    n = cfg.n_preambles
+    assert n > 0
+    pre = jnp.arange(n)
+    tx = prach_tx(cfg, pre)
+    out = prach_rx(cfg, tx[:, None, :])
+    assert bool(np.asarray(out["detected"]).all())
+    np.testing.assert_array_equal(np.asarray(out["preamble"]), np.arange(n))
