@@ -68,14 +68,32 @@ class SlotExecutor:
             deadline_miss=miss))
         return out
 
-    def report(self) -> str:
-        if not self.stats:
-            return "no slots executed"
+    def percentiles(self) -> dict:
+        """Latency distribution of retired slots (us)."""
         lat = sorted(s.complete_us for s in self.stats)
         n = len(lat)
-        mean = sum(lat) / n
-        p50, p99 = lat[n // 2], lat[min(n - 1, int(n * 0.99))]
-        misses = sum(s.deadline_miss for s in self.stats)
-        thr = n / (sum(lat) / 1e6) * self.depth if mean else 0.0
-        return (f"slots: {n}  latency us mean/p50/p99: "
-                f"{mean:.0f}/{p50:.0f}/{p99:.0f}  deadline misses: {misses}")
+        if not n:
+            return {}
+        return {
+            "n_slots": n,
+            "mean_us": sum(lat) / n,
+            "p50_us": lat[n // 2],
+            "p90_us": lat[min(n - 1, int(n * 0.90))],
+            "p99_us": lat[min(n - 1, int(n * 0.99))],
+            "max_us": lat[-1],
+            "deadline_misses": sum(s.deadline_miss for s in self.stats),
+        }
+
+    def report(self) -> str:
+        """dump_L1_meas_stats-style block (executables/nr-gnb.c:290): the
+        per-slot wall-latency distribution against the slot budget."""
+        p = self.percentiles()
+        if not p:
+            return "no slots executed"
+        budget = (f"  budget {self.slot_duration_s*1e6:.0f} us x depth "
+                  f"{self.depth}" if self.slot_duration_s else "")
+        return (f"L1 slot latency (us): mean {p['mean_us']:.0f}  "
+                f"p50 {p['p50_us']:.0f}  p90 {p['p90_us']:.0f}  "
+                f"p99 {p['p99_us']:.0f}  max {p['max_us']:.0f}  over "
+                f"{p['n_slots']} slots{budget}  deadline misses: "
+                f"{p['deadline_misses']}")

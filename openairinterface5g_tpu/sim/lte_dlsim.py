@@ -51,7 +51,7 @@ def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str,
 
 def run_sweep(cfg, snrs, n_trials, batch, max_rounds=1, n_iters=6,
               channel="AWGN", eff_tp_check=70.0, seed=42, verbose=True,
-              delay_spread_ns=30.0, uplink=False):
+              delay_spread_ns=30.0, uplink=False, duty: float = 1.0):
     import jax
     import jax.numpy as jnp
 
@@ -76,7 +76,8 @@ def run_sweep(cfg, snrs, n_trials, batch, max_rounds=1, n_iters=6,
         bler = 1.0 - ok_any / n_done
         avg_rounds = rounds_used / n_done
         eff_tp = 100.0 * (ok_any / n_done) / avg_rounds
-        mbps = cfg.tbs * (ok_any / n_done) / avg_rounds / 1e3  # per subframe(1ms)
+        # per 1 ms subframe, scaled by the TDD duty factor (1.0 = FDD)
+        mbps = cfg.tbs * (ok_any / n_done) / avg_rounds / 1e3 * duty
         results.append({"snr_db": float(snr_db), "bler": bler,
                         "avg_rounds": avg_rounds, "eff_throughput_pct": eff_tp,
                         "mbps": mbps, "trials": n_done, "wall_s": dt})
@@ -104,6 +105,11 @@ def main(argv=None):
     ap.add_argument("-M", "--max-rounds", type=int, default=1)
     ap.add_argument("-I", "--n-iters", type=int, default=6)
     ap.add_argument("-t", "--eff-tp-check", type=float, default=70.0)
+    ap.add_argument("-d", "--tdd-config", type=int, default=None,
+                    choices=range(7),
+                    help="LTE TDD uplink-downlink configuration (36.211 "
+                         "Table 4.2-2); throughput reflects the DL duty "
+                         "(D subframes + DwPTS at 11/14 symbols)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
@@ -113,15 +119,22 @@ def main(argv=None):
 
     cfg = LtePdschConfig(n_rb=args.n_rb, n_prb=args.n_rb, mcs=args.mcs,
                          n_rx=args.n_rx)
+    duty = 1.0
+    if args.tdd_config is not None:
+        from ..runtime.tdd import lte_tdd_counts
+        n_d, n_s, _ = lte_tdd_counts(args.tdd_config)
+        duty = (n_d + n_s * 11.0 / 14.0) / 10.0
     print(f"LTE PDSCH sim: {args.n_rb} PRB MCS {args.mcs} (Qm={cfg.qm}) "
-          f"TBS {cfg.tbs} C={cfg.seg().C} channel={args.channel}")
+          f"TBS {cfg.tbs} C={cfg.seg().C} channel={args.channel}"
+          + (f" TDD cfg {args.tdd_config} (DL duty {duty:.2f})"
+             if args.tdd_config is not None else " FDD"))
     snr1 = args.snr1 if args.snr1 is not None else args.snr0
     snrs = np.arange(args.snr0, snr1 + 1e-9, args.snr_step)
     batch = args.batch or max(1, min(32, args.n_trials))
     results, ok = run_sweep(cfg, snrs, args.n_trials, batch,
                             max_rounds=args.max_rounds, n_iters=args.n_iters,
                             channel=args.channel,
-                            eff_tp_check=args.eff_tp_check)
+                            eff_tp_check=args.eff_tp_check, duty=duty)
     if args.json:
         print(json.dumps(results))
     print("LTE PDSCH test OK" if ok else "LTE PDSCH test NOK")

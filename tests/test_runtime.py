@@ -29,7 +29,7 @@ def test_slot_executor_pipeline():
     results = ex.run(inputs)
     assert len(results) == 10
     assert len(ex.stats) == 10
-    assert "slots: 10" in ex.report()
+    assert "over 10 slots" in ex.report()
     # results in order
     for i, r in enumerate(results):
         assert abs(float(r) - (64 * 64 * i * i + i)) < 1e-3
