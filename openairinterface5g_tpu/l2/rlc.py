@@ -162,14 +162,17 @@ class RlcUm:
 
 
 class RlcAm:
-    """AM entity (38.322 §5.3): ARQ with status reporting + retx.
+    """AM entity (38.322 §5.3): ARQ with SDU segmentation (SI/SO) +
+    status reporting + retransmission.
 
-    Simplified relative to the reference in buffer management (whole-SDU
-    retransmission granularity; NACK ranges reported per-SN) but the
-    protocol artifacts — AMD headers with P bit, STATUS PDU with ACK_SN /
-    NACK_SN list, t-PollRetransmit, max_retx notification — match
-    nr_rlc_entity_am.c behavior.
+    Simplified relative to the reference in retransmission granularity
+    (a NACKed SN retransmits the whole SDU, re-segmented to the current
+    grant; NACKs are per-SN without SO ranges) but the protocol
+    artifacts — AMD headers with P/SI/SO, STATUS PDU with ACK_SN /
+    NACK_SN list, max_retx notification — match nr_rlc_entity_am.c.
     """
+
+    SI_FULL, SI_FIRST, SI_LAST, SI_MIDDLE = 0, 1, 2, 3
 
     def __init__(self, deliver: Callable[[bytes], None], sn_bits: int = 12,
                  max_retx: int = 4, poll_pdu: int = 4,
@@ -187,9 +190,11 @@ class RlcAm:
         self.wait_ack: dict[int, bytes] = {}
         self.retx: list[int] = []
         self.retx_count: dict[int, int] = {}
+        self.tx_seg: tuple | None = None    # (sn, data, offset) in progress
         self.pdu_since_poll = 0
         self.rx_next = 0             # next expected SN
         self.rx_buf: dict[int, bytes] = {}
+        self.rx_segs: dict[int, dict] = {}  # sn -> {so: bytes, 'last': end}
         self.status_due = False
 
     # --- TX side ---
@@ -197,39 +202,80 @@ class RlcAm:
     def sdu_in(self, data: bytes):
         self.queue.append(data)
 
-    def _amd_header(self, sn: int, poll: bool) -> bytes:
-        # D/C=1, P, SI=00 (full SDUs at this granularity)
+    def _amd_header(self, sn: int, poll: bool, si: int = 0,
+                    so: int = 0) -> bytes:
+        # D/C=1 | P | SI(2) | SN; SO (2 bytes) present for SI middle/last
         if self.sn_bits == 12:
-            return bytes([0x80 | (0x40 if poll else 0) | (sn >> 8), sn & 0xFF])
-        return bytes([0x80 | (0x40 if poll else 0) | (sn >> 16),
-                      (sn >> 8) & 0xFF, sn & 0xFF])
+            hdr = bytes([0x80 | (0x40 if poll else 0) | (si << 4)
+                         | (sn >> 8), sn & 0xFF])
+        else:
+            hdr = bytes([0x80 | (0x40 if poll else 0) | (si << 4)
+                         | (sn >> 16), (sn >> 8) & 0xFF, sn & 0xFF])
+        if si in (self.SI_MIDDLE, self.SI_LAST):
+            hdr += so.to_bytes(2, "big")
+        return hdr
+
+    def _hdr_len(self, si: int) -> int:
+        base = 2 if self.sn_bits == 12 else 3
+        return base + (2 if si in (self.SI_MIDDLE, self.SI_LAST) else 0)
+
+    def _emit(self, sn: int, data: bytes, offset: int, size: int,
+              poll: bool):
+        """One (possibly segmented) AMD PDU for `data` from `offset`;
+        updates tx_seg.  Returns the PDU."""
+        total = len(data)
+        if offset == 0 and self._hdr_len(self.SI_FULL) + total <= size:
+            self.tx_seg = None
+            return self._amd_header(sn, poll) + data
+        si_try = self.SI_FIRST if offset == 0 else self.SI_MIDDLE
+        room = size - self._hdr_len(self.SI_LAST if si_try != self.SI_FIRST
+                                    else self.SI_FIRST)
+        if room <= 0:
+            return None
+        end = min(offset + room, total)
+        if end == total:
+            si = self.SI_LAST if offset else self.SI_FULL
+            self.tx_seg = None
+        else:
+            si = self.SI_FIRST if offset == 0 else self.SI_MIDDLE
+            self.tx_seg = (sn, data, end)
+        return self._amd_header(sn, poll, si, offset) + data[offset:end]
 
     def pdu_out(self, size: int) -> Optional[bytes]:
-        hdr = 2 if self.sn_bits == 12 else 3
         if self.status_due:
             return None                 # control PDU has priority via status_out
+        if self.tx_seg is not None:
+            sn, data, off = self.tx_seg
+            return self._emit(sn, data, off, size, poll=False)
         if self.retx:
-            sn = self.retx.pop(0)
+            sn = self.retx[0]
             data = self.wait_ack.get(sn)
-            if data is not None and hdr + len(data) <= size:
+            if data is None:
+                self.retx.pop(0)
+                return self.pdu_out(size)
+            pdu = self._emit(sn, data, 0, size, poll=True)
+            if pdu is not None:
+                self.retx.pop(0)
                 self.retx_count[sn] = self.retx_count.get(sn, 0) + 1
                 if self.retx_count[sn] > self.max_retx:
                     self.on_max_retx(sn)
-                return self._amd_header(sn, poll=True) + data
-            if data is not None:
-                self.retx.insert(0, sn)
-                return None
-        if not self.queue or hdr + len(self.queue[0]) > size:
+            return pdu
+        if not self.queue:
             return None
-        data = self.queue.pop(0)
         sn = self.tx_next
+        data = self.queue[0]
+        self.pdu_since_poll += 1
+        poll = self.pdu_since_poll >= self.poll_pdu or len(self.queue) == 1
+        pdu = self._emit(sn, data, 0, size, poll)
+        if pdu is None:
+            self.pdu_since_poll -= 1
+            return None
+        self.queue.pop(0)
         self.tx_next = (self.tx_next + 1) % self.mod
         self.wait_ack[sn] = data
-        self.pdu_since_poll += 1
-        poll = self.pdu_since_poll >= self.poll_pdu or not self.queue
         if poll:
             self.pdu_since_poll = 0
-        return self._amd_header(sn, poll) + data
+        return pdu
 
     # --- RX side ---
 
@@ -238,18 +284,40 @@ class RlcAm:
             self._status_in(pdu)
             return
         poll = bool(pdu[0] & 0x40)
+        si = (pdu[0] >> 4) & 0x03
         if self.sn_bits == 12:
             sn = ((pdu[0] & 0x0F) << 8) | pdu[1]
-            data = pdu[2:]
+            rest = pdu[2:]
         else:
             sn = ((pdu[0] & 0x03) << 16) | (pdu[1] << 8) | pdu[2]
-            data = pdu[3:]
-        if self._sn_lt(sn, self.rx_next):
-            pass                        # duplicate of delivered SN
-        else:
-            self.rx_buf[sn] = data
+            rest = pdu[3:]
+        so = 0
+        if si in (self.SI_MIDDLE, self.SI_LAST):
+            so = int.from_bytes(rest[:2], "big")
+            rest = rest[2:]
+        if not self._sn_lt(sn, self.rx_next):
+            if si == self.SI_FULL:
+                self.rx_buf[sn] = rest
+                self.rx_segs.pop(sn, None)   # a full retx supersedes segments
+            else:
+                segs = self.rx_segs.setdefault(sn, {})
+                segs[so] = rest
+                if si == self.SI_LAST:
+                    segs["end"] = so + len(rest)
+                # reassemble when first..last are contiguous
+                end = segs.get("end")
+                if end is not None:
+                    data = bytearray()
+                    pos = 0
+                    while pos < end and pos in segs:
+                        data += segs[pos]
+                        pos += len(segs[pos])
+                    if pos >= end:
+                        self.rx_buf[sn] = bytes(data)
+                        del self.rx_segs[sn]
             while self.rx_next in self.rx_buf:
                 self.deliver(self.rx_buf.pop(self.rx_next))
+                self.rx_segs.pop(self.rx_next, None)
                 self.rx_next = (self.rx_next + 1) % self.mod
         if poll:
             self.status_due = True
@@ -259,14 +327,19 @@ class RlcAm:
 
     # --- STATUS PDU (38.322 §6.2.3.10 shape: ACK_SN + NACK_SN list) ---
 
+    def _highest_rx(self) -> int:
+        """SN (fully or partially received) farthest ahead of rx_next."""
+        return max(set(self.rx_buf) | set(self.rx_segs),
+                   key=lambda s: (s - self.rx_next) % self.mod)
+
     def status_out(self) -> Optional[bytes]:
         if not self.status_due:
             return None
         self.status_due = False
-        nacks = sorted(sn for sn in self._missing())
+        nacks = self._missing()
         ack_sn = self.rx_next
-        if self.rx_buf:
-            ack_sn = (max(self.rx_buf) + 1) % self.mod
+        if self.rx_buf or self.rx_segs:
+            ack_sn = (self._highest_rx() + 1) % self.mod
         out = bytes([0x00]) + ack_sn.to_bytes(3, "big") + \
             len(nacks).to_bytes(2, "big")
         for sn in nacks:
@@ -274,11 +347,22 @@ class RlcAm:
         return out
 
     def _missing(self):
-        if not self.rx_buf:
+        """Gap SNs in [rx_next, highest], walked mod-aware so reports
+        stay correct across the SN wraparound.  A partially received SN
+        (segments outstanding) counts as missing — the per-SN analog of
+        the reference's SOstart/SOend NACK ranges."""
+        if not self.rx_buf and not self.rx_segs:
             return []
-        top = max(self.rx_buf)
-        return [sn for sn in range(self.rx_next, top)
-                if sn not in self.rx_buf]
+        top = self._highest_rx()
+        out = []
+        sn = self.rx_next
+        while sn != top:
+            if sn not in self.rx_buf:
+                out.append(sn)
+            sn = (sn + 1) % self.mod
+        if top not in self.rx_buf:
+            out.append(top)
+        return out
 
     def _status_in(self, pdu: bytes):
         ack_sn = int.from_bytes(pdu[1:4], "big")

@@ -206,8 +206,29 @@ def pdcch_rx(cfg: DciConfig, rx_res: jnp.ndarray, slot: int = 0, list_size: int 
     pil = refsig.dmrs_sequence(cinit_d, 3 * cfg.cs.n_prb)[jnp.asarray(dmrs_sc // 4)]
     yp = rx_res[..., jnp.asarray(dmrs_sc)]
     hp = ls_estimate(yp, pil)
-    nearest = np.abs(data_sc[None, :] - dmrs_sc[:, None]).argmin(axis=0)
-    h = hp[..., jnp.asarray(nearest)]
+    # linear interpolation between the bracketing pilots of each PRB
+    # (pilots at SCs +1/+5/+9; edge SCs hold) — the reference's filt16
+    # interpolation-LUT behavior, per-PRB so interleaved (non-contiguous)
+    # candidates stay correct.  Replaces the round-3 nearest-pilot map.
+    prb_pos = {p: i for i, p in enumerate(sorted(set(data_sc // 12)))}
+    lo = np.empty(len(data_sc), np.int64)
+    hi = np.empty(len(data_sc), np.int64)
+    w = np.empty(len(data_sc), np.float32)
+    for i, d in enumerate(data_sc):
+        base = 3 * prb_pos[d // 12]
+        k = d % 12
+        if k <= 1:
+            lo[i] = hi[i] = base
+            w[i] = 0.0
+        elif k >= 9:
+            lo[i] = hi[i] = base + 2
+            w[i] = 0.0
+        else:
+            j = (k - 1) // 4             # bracketing pilot pair (1,5)/(5,9)
+            lo[i], hi[i] = base + j, base + j + 1
+            w[i] = ((k - 1) % 4) / 4.0
+    wj = jnp.asarray(w)
+    h = (1.0 - wj) * hp[..., jnp.asarray(lo)] + wj * hp[..., jnp.asarray(hi)]
     yd = rx_res[..., jnp.asarray(data_sc)]
     x = jnp.sum(jnp.conj(h) * yd, axis=1)
     mag = jnp.sum(jnp.abs(h) ** 2, axis=1)

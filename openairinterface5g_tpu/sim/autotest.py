@@ -170,7 +170,16 @@ CONFORMANCE_CASES = [
 ]
 
 
-def run_case(module: str, argv: list[str]) -> str:
+def run_case(module: str, argv: list[str], isolate: bool = False) -> str:
+    if isolate:
+        # one OS process per case: the device resets between cases, so a
+        # long matrix cannot exhaust the TPU worker (run_exec_autotests
+        # also execs each case)
+        import subprocess
+        r = subprocess.run(
+            [sys.executable, "-m", f"openairinterface5g_tpu.sim.{module}"]
+            + argv, capture_output=True, text=True, timeout=3600)
+        return r.stdout + r.stderr
     import importlib
 
     mod = importlib.import_module(f"openairinterface5g_tpu.sim.{module}")
@@ -189,6 +198,8 @@ def main(argv=None):
     ap.add_argument("--conformance", action="store_true",
                     help="run the 28-point nr_ulsim.3gpp matrix + mimo set")
     ap.add_argument("--filter", type=str, default="")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run each case in its own OS process")
     args = ap.parse_args(argv)
 
     from ..utils.cache import enable_compile_cache
@@ -206,7 +217,7 @@ def main(argv=None):
         if args.filter and args.filter not in cid:
             continue
         t0 = time.time()
-        out = run_case(module, case_argv)
+        out = run_case(module, case_argv, isolate=args.isolate)
         ok = pass_str in out
         results.append((cid, ok, time.time() - t0))
         print(f"[{'PASS' if ok else 'FAIL'}] {cid} ({time.time()-t0:.1f}s)")

@@ -66,6 +66,7 @@ def test_full_call_flow():
     gnb_rrc.send_dl = lambda rnti, srb, pdu: dl_pdus.append(pdu)
     ue_rrc.connect(nas_pdu=b"")                    # emits rrcSetupRequest
     rrc_pdu = ul_pdus.pop(0)
+    ue_mac.msg3_payload = rrc_pdu                  # the actual msg3 CCCH SDU
 
     ucfg = PuschConfig(mu=1, n_prb=6, mcs=4, n_layers=1, n_rx=1, rnti=tc_rnti)
     payload = len(rrc_pdu).to_bytes(2, "big") + rrc_pdu

@@ -122,3 +122,32 @@ def test_blind_search_finds_nonzero_candidate():
     assert bool(np.asarray(found).all())
     assert (np.asarray(al) == 2).all()
     np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
+
+
+def test_pdcch_fading_channel_interpolated_chest():
+    """DCI blind decode through a frequency-selective channel: the
+    per-PRB pilot interpolation must track |H(f)| variation across the
+    CORESET (round-3 nearest-pilot chest was unverified under fading)."""
+    import jax
+    from openairinterface5g_tpu.models.pdcch import DciConfig, pdcch_tx_grid, blind_search
+
+    B, n_prb, A, rnti = 4, 48, 39, 0x5A5A
+    cfg = DciConfig(A=A, aggregation_level=8, rnti=rnti, n_id=7,
+                    coreset_prb=n_prb)
+    rng = np.random.default_rng(11)
+    payload = jnp.asarray(rng.integers(0, 2, (B, A)).astype(np.int8))
+    tx = pdcch_tx_grid(cfg, payload, slot=3)
+    # 3-tap frequency-selective channel -> H varies over the 576 SCs
+    n_sc = 12 * n_prb
+    taps = (rng.standard_normal((B, 3)) + 1j * rng.standard_normal((B, 3))
+            ) / np.sqrt(6)
+    f = np.arange(n_sc)[None, :, None] / 64.0
+    H = (taps[:, None, :] * np.exp(-2j * np.pi * f
+                                   * np.arange(3)[None, None, :])).sum(-1)
+    y = tx * jnp.asarray(H.astype(np.complex64))
+    y = y + 0.25 * (jax.random.normal(jax.random.PRNGKey(5), y.shape)
+                    + 1j * jax.random.normal(jax.random.PRNGKey(6), y.shape))
+    bits, found, al = blind_search(y[:, None, :], A, rnti, n_id=7, slot=3,
+                                   coreset_prb=n_prb)
+    assert bool(np.asarray(found).all())
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(payload))
