@@ -128,6 +128,10 @@ def run_gnb(port: int, log=print) -> bool:
     fp = make_frame_params(1, BWP_PRB)
     S = fp.samples_per_slot(0)
     dev = RfSimDevice.listen(port, n_ant=1)
+    # channel model applied INSIDE the native hub to received UL samples
+    # (rfsimu_setchanmod_cmd analog): 2-tap FIR + AWGN
+    dev.set_channel(np.array([1.0, 0.12 + 0.05j], np.complex64),
+                    noise_sigma=0.01)
     ok = True
     try:
         # ---- slot 0: SSB -------------------------------------------------
@@ -232,6 +236,8 @@ def run_ue(port: int, host: str = "127.0.0.1", log=print) -> bool:
     fp = make_frame_params(1, BWP_PRB)
     S = fp.samples_per_slot(0)
     dev = RfSimDevice.connect(host, port, n_ant=1)
+    dev.set_channel(np.array([1.0, 0.12 + 0.05j], np.complex64),
+                    noise_sigma=0.01)
     mac = UeMac(RaConfig(preamble_index=PRACH_PREAMBLE))
     try:
         # ---- sync on the slot-0 SSB (CP-aware timing) --------------------
