@@ -64,3 +64,52 @@ def test_xnap_handover():
     tid = src.pending_ho[9]["ack"]["target_ue_id"]
     assert tgt.admitted[tid]["context"] == b"rrc-ctx"
     assert tgt.admitted[tid]["c_rnti"] == 0xC000 + tid
+
+
+def test_nas_service_and_release_procedures():
+    """Idle-mode and teardown NAS flows (24.501 §5.5.2/5.6/6.3):
+    service request, session modification, session release, GUTI
+    reallocation, de-registration."""
+    from openairinterface5g_tpu.l3 import nas
+
+    amf = nas.AmfStub()
+    ue = nas.UeNas()
+    # full registration + session first
+    pending = [ue.start()]
+    while pending:
+        for reply in amf.handle(pending.pop(0)):
+            pending.extend(ue.handle(reply))
+    assert ue.state == "SESSION" and ue.ip is not None
+
+    # network GUTI reallocation
+    replies = ue.handle(nas.configuration_update_command(b"\x07" * 11))
+    assert ue.guti == b"\x07" * 11
+    assert nas.decode(replies[0]).msg_type == nas.MSG_CONFIG_UPDATE_COMPLETE
+
+    # identity request/response
+    replies = ue.handle(nas.identity_request())
+    assert nas.decode(replies[0]).msg_type == nas.MSG_IDENTITY_RESPONSE
+
+    # session modification
+    req = ue.request_session_modification(qos=b"\x09")
+    for reply in amf.handle(req):
+        ue.handle(reply)
+    assert ue.qos == b"\x09"
+
+    # session release: UE requests, AMF commands, UE completes
+    req = ue.request_session_release()
+    for reply in amf.handle(req):
+        for done in ue.handle(reply):
+            amf.handle(done)
+    assert ue.ip is None and ue.state == "REGISTERED"
+    assert amf.state == "REGISTERED"
+
+    # service request from idle
+    for reply in amf.handle(ue.request_service()):
+        ue.handle(reply)
+    assert ue.state == "REGISTERED"
+
+    # de-registration
+    for reply in amf.handle(ue.request_deregistration()):
+        ue.handle(reply)
+    assert ue.state == "DEREGISTERED" and amf.state == "DEREGISTERED"
