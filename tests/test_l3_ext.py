@@ -113,3 +113,51 @@ def test_nas_service_and_release_procedures():
     for reply in amf.handle(ue.request_deregistration()):
         ue.handle(reply)
     assert ue.state == "DEREGISTERED" and amf.state == "DEREGISTERED"
+
+
+def test_x2ap_handover_and_endc():
+    """LTE X2 handover between two eNBs + EN-DC SgNB addition, and a
+    preparation-failure path (admission refused)."""
+    from openairinterface5g_tpu.l3.x2ap import X2Endpoint
+
+    wire_a, wire_b = [], []
+    a = X2Endpoint(1, cells=[0x100], send=wire_a.append)
+    b = X2Endpoint(2, cells=[0x200], send=wire_b.append)
+
+    def pump():
+        while wire_a or wire_b:
+            for pdu in wire_a[:]:
+                wire_a.remove(pdu)
+                b.handle(pdu)
+            for pdu in wire_b[:]:
+                wire_b.remove(pdu)
+                a.handle(pdu)
+
+    a.x2_setup()
+    pump()
+    assert a.setup_done and a.peer_cells == [0x200]
+
+    a.start_handover(7, target_cell=0x200, ue_context=b"rrc-ctx",
+                     erabs=(5, 6))
+    pump()
+    assert a.completed == [7]
+    tid = a.pending_ho[7]["ack"]["new_ue_x2ap_id"]
+    assert b.admitted[tid]["context"] == b"rrc-ctx"
+    assert b.admitted[tid]["pdcp_sn_dl"] == 100   # SN status transferred
+
+    # admission refusal -> preparation failure back at the source
+    b2 = X2Endpoint(3, cells=[0x300], send=wire_b.append,
+                    admit=lambda m: False)
+    a.start_handover(8, target_cell=0x300, ue_context=b"x")
+    for pdu in wire_a[:]:
+        wire_a.remove(pdu)
+        b2.handle(pdu)
+    for pdu in wire_b[:]:
+        wire_b.remove(pdu)
+        a.handle(pdu)
+    assert a.failed == [8]
+
+    # EN-DC: MeNB adds an NR secondary node
+    a.start_sgnb_addition(9, nr_cell=0xABC)
+    pump()
+    assert a.sgnb[9]["scg"] == b"nr-scg-config"
