@@ -89,6 +89,14 @@ class SchedulerConfig:
     pf_alpha: float = 0.01        # EWMA forgetting factor
     target_bler: float = 0.1
     min_prb: int = 4              # smallest allocation
+    # broadcast scheduling (schedule_nr_mib / SIB1 path, gNB_scheduler.c:252)
+    sib1_period_frames: int = 16  # 160 ms SIB1 periodicity
+    sib1_payload: bytes = b""     # encoded SIB1 (empty = don't schedule)
+    sib1_prbs: int = 24
+    # paging (38.304 §7.1): PF = SFN mod T == (T/N)*(ue_id mod N)
+    drx_cycle_frames: int = 32    # T
+    paging_n: int = 4             # N paging frames per cycle
+    tdd: object = None            # runtime.tdd.TddConfig | None
 
 
 class MacScheduler:
@@ -98,6 +106,7 @@ class MacScheduler:
         self.cfg = cfg
         self.ues: dict[int, UeMacState] = {}
         self.ra_queue: list[tuple[int, int]] = []   # (preamble, ta)
+        self.paging_queue: list[tuple[int, bytes]] = []
 
     def add_ue(self, rnti: int, **kw) -> UeMacState:
         ue = UeMacState(rnti=rnti, **kw)
@@ -178,58 +187,99 @@ class MacScheduler:
             prb_next += size
         return out
 
+    SI_RNTI = 0xFFFF
+    P_RNTI = 0xFFFE
+
+    def page_ue(self, ue_id: int, record: bytes = b""):
+        """Queue a paging record (NGAP Paging -> MAC, 38.304 §7.1)."""
+        self.paging_queue.append((ue_id, record or ue_id.to_bytes(4, "big")))
+
+    def _broadcast_pdus(self, sfn: int, slot: int, dl_pdus, payloads):
+        """SIB1 + paging occasions for this slot (gNB_scheduler.c:252
+        schedule_nr_mib / gNB_scheduler_dlsch SIB1 path analog)."""
+        cfg = self.cfg
+        if (cfg.sib1_payload and slot == 0
+                and sfn % cfg.sib1_period_frames == 0):
+            dl_pdus.append(fapi.PdschPdu(
+                rnti=self.SI_RNTI, pdu_index=len(dl_pdus), mcs=2,
+                rb_start=0, rb_size=cfg.sib1_prbs,
+                nr_of_symbols=cfg.n_dl_symbols))
+            payloads.append(cfg.sib1_payload)
+        if self.paging_queue:
+            T, N = cfg.drx_cycle_frames, cfg.paging_n
+            due = [(uid, rec) for uid, rec in self.paging_queue
+                   if sfn % T == (T // N) * (uid % N) and slot == 1]
+            if due:
+                rec = b"".join(r for _, r in due)
+                dl_pdus.append(fapi.PdschPdu(
+                    rnti=self.P_RNTI, pdu_index=len(dl_pdus), mcs=2,
+                    rb_start=0, rb_size=cfg.sib1_prbs,
+                    nr_of_symbols=cfg.n_dl_symbols))
+                payloads.append(rec)
+                self.paging_queue = [q for q in self.paging_queue
+                                     if q not in due]
+
     def schedule_slot(self, sfn: int, slot: int):
         """-> (DlTtiRequest, UlTtiRequest, TxDataRequest) for this slot."""
         cfg = self.cfg
         a = cfg.pf_alpha
 
+        # TDD gating: no DL PDUs in U slots, no UL PDUs in D slots
+        slot_type = cfg.tdd.slot_type(slot) if cfg.tdd is not None else None
+        dl_ok = slot_type in (None, "D", "S")
+        ul_ok = slot_type in (None, "U", "S")
+
         dl_pdus, payloads = [], []
-        # DL retransmissions first (existing active HARQ with round>0)
-        for ue in self.ues.values():
-            for hid, h in enumerate(ue.dl_harq):
-                if h.active and h.round > 0:
-                    dl_pdus.append(fapi.PdschPdu(
-                        rnti=ue.rnti, pdu_index=len(dl_pdus), mcs=h.mcs,
-                        rb_start=h.prbs[0], rb_size=h.prbs[1],
-                        nr_of_symbols=cfg.n_dl_symbols))
-                    payloads.append(h.payload)
-        cands = [u for u in self.ues.values()
-                 if u.dl_buffer > 0 and u.free_harq(u.dl_harq) is not None]
-        for ue, p0, sz, mcs in self._pf_allocate(cands, dl=True):
-            hid = ue.free_harq(ue.dl_harq)
-            tbs = tbs_bytes(mcs, sz, cfg.n_dl_symbols)
-            pay = bytes(min(tbs, ue.dl_buffer))
-            h = ue.dl_harq[hid]
-            h.active, h.round, h.tbs, h.mcs, h.prbs, h.payload = \
-                True, 0, tbs, mcs, (p0, sz), pay
-            ue.dl_buffer = max(0, ue.dl_buffer - tbs)
-            ue.avg_thr_dl = (1 - a) * ue.avg_thr_dl + a * tbs
-            dl_pdus.append(fapi.PdschPdu(
-                rnti=ue.rnti, pdu_index=len(dl_pdus), mcs=mcs, rb_start=p0,
-                rb_size=sz, nr_of_symbols=cfg.n_dl_symbols))
-            payloads.append(pay)
+        if dl_ok:
+            self._broadcast_pdus(sfn, slot, dl_pdus, payloads)
+            # DL retransmissions first (existing active HARQ with round>0)
+            for ue in self.ues.values():
+                for hid, h in enumerate(ue.dl_harq):
+                    if h.active and h.round > 0:
+                        dl_pdus.append(fapi.PdschPdu(
+                            rnti=ue.rnti, pdu_index=len(dl_pdus), mcs=h.mcs,
+                            rb_start=h.prbs[0], rb_size=h.prbs[1],
+                            nr_of_symbols=cfg.n_dl_symbols))
+                        payloads.append(h.payload)
+            cands = [u for u in self.ues.values()
+                     if u.dl_buffer > 0 and u.free_harq(u.dl_harq) is not None]
+            for ue, p0, sz, mcs in self._pf_allocate(cands, dl=True):
+                hid = ue.free_harq(ue.dl_harq)
+                tbs = tbs_bytes(mcs, sz, cfg.n_dl_symbols)
+                pay = bytes(min(tbs, ue.dl_buffer))
+                h = ue.dl_harq[hid]
+                h.active, h.round, h.tbs, h.mcs, h.prbs, h.payload = \
+                    True, 0, tbs, mcs, (p0, sz), pay
+                ue.dl_buffer = max(0, ue.dl_buffer - tbs)
+                ue.avg_thr_dl = (1 - a) * ue.avg_thr_dl + a * tbs
+                dl_pdus.append(fapi.PdschPdu(
+                    rnti=ue.rnti, pdu_index=len(dl_pdus), mcs=mcs, rb_start=p0,
+                    rb_size=sz, nr_of_symbols=cfg.n_dl_symbols))
+                payloads.append(pay)
 
         ul_pdus = []
-        for ue in self.ues.values():
-            for hid, h in enumerate(ue.ul_harq):
-                if h.active and h.round > 0:
-                    ul_pdus.append(fapi.PuschPduMsg(
-                        rnti=ue.rnti, handle=len(ul_pdus), mcs=h.mcs,
-                        rb_start=h.prbs[0], rb_size=h.prbs[1], rv=h.rv,
-                        harq_process_id=hid, new_data=0,
-                        nr_of_symbols=cfg.n_ul_symbols))
-        cands = [u for u in self.ues.values()
-                 if u.ul_buffer > 0 and u.free_harq(u.ul_harq) is not None]
-        for ue, p0, sz, mcs in self._pf_allocate(cands, dl=False):
-            hid = ue.free_harq(ue.ul_harq)
-            tbs = tbs_bytes(mcs, sz, cfg.n_ul_symbols)
-            h = ue.ul_harq[hid]
-            h.active, h.round, h.tbs, h.mcs, h.prbs = True, 0, tbs, mcs, (p0, sz)
-            ue.avg_thr_ul = (1 - a) * ue.avg_thr_ul + a * tbs
-            ul_pdus.append(fapi.PuschPduMsg(
-                rnti=ue.rnti, handle=len(ul_pdus), mcs=mcs, rb_start=p0,
-                rb_size=sz, rv=0, harq_process_id=hid, new_data=1,
-                nr_of_symbols=cfg.n_ul_symbols))
+        if ul_ok:
+            for ue in self.ues.values():
+                for hid, h in enumerate(ue.ul_harq):
+                    if h.active and h.round > 0:
+                        ul_pdus.append(fapi.PuschPduMsg(
+                            rnti=ue.rnti, handle=len(ul_pdus), mcs=h.mcs,
+                            rb_start=h.prbs[0], rb_size=h.prbs[1], rv=h.rv,
+                            harq_process_id=hid, new_data=0,
+                            nr_of_symbols=cfg.n_ul_symbols))
+            cands = [u for u in self.ues.values()
+                     if u.ul_buffer > 0 and u.free_harq(u.ul_harq) is not None]
+            for ue, p0, sz, mcs in self._pf_allocate(cands, dl=False):
+                hid = ue.free_harq(ue.ul_harq)
+                tbs = tbs_bytes(mcs, sz, cfg.n_ul_symbols)
+                h = ue.ul_harq[hid]
+                h.active, h.round, h.tbs, h.mcs, h.prbs = \
+                    True, 0, tbs, mcs, (p0, sz)
+                ue.avg_thr_ul = (1 - a) * ue.avg_thr_ul + a * tbs
+                ul_pdus.append(fapi.PuschPduMsg(
+                    rnti=ue.rnti, handle=len(ul_pdus), mcs=mcs, rb_start=p0,
+                    rb_size=sz, rv=0, harq_process_id=hid, new_data=1,
+                    nr_of_symbols=cfg.n_ul_symbols))
 
         dl = fapi.DlTtiRequest(sfn=sfn, slot=slot, pdsch=tuple(dl_pdus))
         ul = fapi.UlTtiRequest(sfn=sfn, slot=slot, pusch=tuple(ul_pdus))

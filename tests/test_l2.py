@@ -265,3 +265,44 @@ def test_mac_rach_queues():
     s = mac.MacScheduler(mac.SchedulerConfig())
     s.on_rach(fapi.RachIndication(preambles=((23, 100, -5),)))
     assert s.ra_queue == [(23, 100)]
+
+
+def test_mac_sib1_paging_and_tdd_gating():
+    """SIB1 periodicity, paging PF/PO (38.304 §7.1), and TDD slot-type
+    gating of the scheduler (gNB_scheduler.c:252 analog)."""
+    from openairinterface5g_tpu.l2.mac import MacScheduler, SchedulerConfig
+    from openairinterface5g_tpu.runtime.tdd import TddConfig
+
+    cfg = SchedulerConfig(sib1_payload=b"SIB1-ENCODED", sib1_period_frames=16,
+                          drx_cycle_frames=32, paging_n=4,
+                          tdd=TddConfig.from_string("7,6,2,4"))
+    mac = MacScheduler(cfg)
+    ue = mac.add_ue(0x4601)
+    ue.dl_buffer = 500
+    ue.ul_buffer = 500
+
+    # SIB1 appears at sfn multiple of the period, slot 0 (a D slot)
+    dl, ul, txd = mac.schedule_slot(sfn=16, slot=0)
+    si = [p for p in dl.pdsch if p.rnti == MacScheduler.SI_RNTI]
+    assert si and txd.payloads[0] == b"SIB1-ENCODED"
+    dl2, _, _ = mac.schedule_slot(sfn=17, slot=0)
+    assert not any(p.rnti == MacScheduler.SI_RNTI for p in dl2.pdsch)
+
+    # paging: ue_id=5 -> PF at sfn mod 32 == 8*(5 mod 4) = 8, PO slot 1
+    mac.page_ue(5, b"PAGE-5")
+    dl3, _, txd3 = mac.schedule_slot(sfn=8, slot=1)
+    pg = [p for p in dl3.pdsch if p.rnti == MacScheduler.P_RNTI]
+    assert pg and b"PAGE-5" in b"".join(txd3.payloads)
+    assert not mac.paging_queue                    # drained
+    mac.page_ue(5, b"PAGE-5")
+    dl4, _, _ = mac.schedule_slot(sfn=9, slot=1)   # wrong PF
+    assert not any(p.rnti == MacScheduler.P_RNTI for p in dl4.pdsch)
+
+    # TDD gating: slot 8 is U (pattern DDDDDDDSUU) -> no DL PDUs, UL ok
+    ue.dl_buffer = 500
+    dl5, ul5, _ = mac.schedule_slot(sfn=0, slot=8)
+    assert not dl5.pdsch and ul5.pusch
+    # slot 3 is D -> DL ok, no UL
+    ue.dl_buffer = 500
+    dl6, ul6, _ = mac.schedule_slot(sfn=0, slot=3)
+    assert dl6.pdsch and not ul6.pusch
