@@ -39,7 +39,7 @@ def main(argv=None):
     from ..models.pbch import Mib, PbchConfig, mib_payload, mib_unpack, \
         ssb_generate, ssb_receive
     from ..models.sync import initial_sync, ssb_time_signal
-    from ..models.ue import DCI_A, UeConfig, encode_grant, ue_receive_slot
+    from ..models.ue import DCI_A, encode_grant
     from ..models.pdcch import DciConfig, pdcch_tx_grid
     from ..models.pdsch import PdschConfig
     from ..models.pusch import pusch_tx_grid
@@ -88,15 +88,19 @@ def main(argv=None):
         return 1
     print(f"[mib] {mib_unpack(np.asarray(pb_payload)[0])}")
 
-    # ---- 2. connected loop: DCI blind decode + PDSCH RX per slot ---------
-    ue = UeConfig(mu=1, n_bwp_prb=args.n_prb, rnti=0x1234, n_id=args.cell_id,
-                  coreset_prb=args.n_prb)
+    # ---- 2. connected loop through the UE MAC/PHY seam -------------------
+    # (fapi/ue_if.py, nr_ue_if_module analog): the MAC fills a
+    # dl_config_request per slot; the PHY answers with a dl_indication
+    from ..fapi.ue_if import DlConfigRequest, DlDciSearch, UePhy
+
+    rnti = 0x1234
     grant = dict(mcs=args.mcs, prb_start=0, n_prb=args.n_prb, rv=0)
-    pdsch = PdschConfig(mu=1, n_prb=args.n_prb, mcs=args.mcs, rnti=ue.rnti,
-                        n_id=ue.n_id, start_symbol=2, n_symbols=12,
+    pdsch = PdschConfig(mu=1, n_prb=args.n_prb, mcs=args.mcs, rnti=rnti,
+                        n_id=args.cell_id, start_symbol=2, n_symbols=12,
                         dmrs_symbols=(2,))
-    dci_cfg = DciConfig(A=DCI_A, aggregation_level=4, rnti=ue.rnti,
-                        n_id=ue.n_id, coreset_prb=args.n_prb)
+    dci_cfg = DciConfig(A=DCI_A, aggregation_level=4, rnti=rnti,
+                        n_id=args.cell_id, coreset_prb=args.n_prb)
+    phy = UePhy(mu=1, n_bwp_prb=args.n_prb)
     n_ok = 0
     lat = []
     for slot in range(args.n_slots):
@@ -110,14 +114,16 @@ def main(argv=None):
         rx_grid = grid_re[:, 0][:, None] + jnp.asarray(noise.astype(np.complex64))
 
         t1 = time.time()
-        out = ue_receive_slot(ue, rx_grid, n_iters=10)
-        ok = (out["tb_bits"] is not None
-              and bool(np.asarray(out["tb_ok"])[0])
-              and bool(np.all(np.asarray(out["tb_bits"]) == np.asarray(tb))))
+        req = DlConfigRequest(slot=0, dci=(DlDciSearch(
+            rnti=rnti, coreset_prb=args.n_prb, n_id=args.cell_id),))
+        ind = phy.handle_dl(req, rx_grid)
+        ok = (bool(ind.pdsch)
+              and bool(np.asarray(ind.pdsch[0][1])[0])
+              and bool(np.all(np.asarray(ind.pdsch[0][0]) == np.asarray(tb))))
         lat.append(time.time() - t1)
         n_ok += ok
-    print(f"[data] {n_ok}/{args.n_slots} slots decoded "
-          f"(median latency {np.median(lat)*1e3:.1f} ms incl. host loop)")
+    print(f"[data] {n_ok}/{args.n_slots} slots decoded through the MAC/PHY "
+          f"seam (median latency {np.median(lat)*1e3:.1f} ms incl. host loop)")
     print("UE softmodem OK" if n_ok == args.n_slots else "UE softmodem NOK")
     return 0 if n_ok == args.n_slots else 1
 
