@@ -119,3 +119,57 @@ def test_dl_slot_full_composition_with_dci_and_csirs():
     meas = csi_measure(CsirsConfig(n_prb=48, symbol=1),
                        re_grid[:, :, 1, :])
     assert float(np.asarray(meas["snr_db"]).min()) > 25.0
+
+
+def test_sib1_broadcast_over_the_grid():
+    """SIB1 end to end: RRC encodes it, the MAC schedules the SI-RNTI
+    PDSCH (with its CSS DCI), the slot is composed and OFDM'd, and the
+    UE blind-decodes with SI-RNTI and parses the SIB1 fields
+    (gNB_scheduler.c SIB1 path + UE SI acquisition analog)."""
+    from openairinterface5g_tpu.config import make_frame_params
+    from openairinterface5g_tpu.l2.mac import MacScheduler, SchedulerConfig
+    from openairinterface5g_tpu.l3.rrc import GnbRrc, decode_dl
+    from openairinterface5g_tpu.models.gnb import PdcchPdu
+    from openairinterface5g_tpu.models.pdcch import DciConfig
+    from openairinterface5g_tpu.models.ue import (DCI_A, UeConfig,
+                                                  encode_grant,
+                                                  ue_receive_slot)
+    from openairinterface5g_tpu.phy.ofdm import extract_from_grid, ofdm_demodulate
+    from openairinterface5g_tpu.runtime.ra_ota import bytes_to_tb, tb_to_bytes
+
+    bwp, cell = 48, 9
+    rrc = GnbRrc(cell_id=cell)
+    sib1_pdu = rrc.sib1()
+
+    # MAC schedules the SI-RNTI PDSCH at the SIB1 occasion
+    mac = MacScheduler(SchedulerConfig(n_bwp_prb=bwp,
+                                       sib1_payload=sib1_pdu,
+                                       sib1_prbs=12))
+    dl_req, _, txd = mac.schedule_slot(sfn=0, slot=0)
+    si = [p for p in dl_req.pdsch if p.rnti == MacScheduler.SI_RNTI]
+    assert si and txd.payloads[0] == sib1_pdu
+
+    # compose the slot exactly as scheduled: DCI(SI-RNTI) + PDSCH
+    pdsch = PdschConfig(mu=1, n_prb=si[0].rb_size, prb_start=24,
+                        n_bwp_prb=bwp, mcs=si[0].mcs,
+                        rnti=MacScheduler.SI_RNTI, n_id=cell,
+                        start_symbol=2, n_symbols=12, dmrs_symbols=(2,))
+    tb = bytes_to_tb(sib1_pdu, pdsch.tbs)[None]
+    grant = encode_grant(mcs=si[0].mcs, prb_start=24, n_prb=si[0].rb_size)
+    dl = SlotDlConfig(mu=1, n_bwp_prb=bwp, pdsch=(pdsch,),
+                      pdcch=(PdcchPdu(DciConfig(
+                          A=DCI_A, rnti=MacScheduler.SI_RNTI, n_id=cell,
+                          coreset_prb=24, aggregation_level=4)),))
+    tx, _ = gnb_dl_slot(dl, [jnp.asarray(tb)],
+                        dci_payloads=[jnp.asarray(grant[None])])
+
+    fp = make_frame_params(1, bwp)
+    grid = extract_from_grid(fp, ofdm_demodulate(fp, tx, 0))
+    ue = UeConfig(mu=1, n_bwp_prb=bwp, rnti=MacScheduler.SI_RNTI,
+                  n_id=cell, coreset_prb=24)
+    out = ue_receive_slot(ue, grid)
+    assert bool(np.asarray(out["tb_ok"]).all())
+    rx_pdu = tb_to_bytes(np.asarray(out["tb_bits"])[0], len(sib1_pdu))
+    name, msg = decode_dl(rx_pdu)
+    assert name == "sib1"
+    assert msg["plmn_mcc"] == 1 and msg["prach_config_index"] == 98
