@@ -56,7 +56,8 @@ def main(argv=None):
     print(f"PDSCH sim: {args.n_prb} PRB mu={args.mu} MCS {args.mcs} "
           f"(Qm={cfg.qm_rate[0]} R={cfg.qm_rate[1]:.3f}) {args.n_layers}x{args.n_rx} "
           f"TBS {cfg.tbs} C={p.C} Z={p.Z} channel={args.channel}")
-    snr1 = args.snr1 if args.snr1 is not None else args.snr0
+    # reference default sweep window (ulsim.c:538 analog)
+    snr1 = args.snr1 if args.snr1 is not None else args.snr0 + 10.0
     snrs = np.arange(args.snr0, snr1 + 1e-9, args.snr_step)
     batch = args.batch or max(1, min(64, args.n_trials))
     results, ok = run_sweep(cfg, snrs, args.n_trials, batch,

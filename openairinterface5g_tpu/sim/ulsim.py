@@ -84,7 +84,7 @@ def run_sweep(cfg, snrs, n_trials: int, batch: int, max_rounds: int = 1,
                       cfo_hz=cfo_hz)
     rng = np.random.default_rng(seed)
     results = []
-    all_pass = True
+    passed = False
     for snr_db in snrs:
         n_done = 0
         ok_first = 0          # round-0 successes
@@ -117,9 +117,14 @@ def run_sweep(cfg, snrs, n_trials: int, batch: int, max_rounds: int = 1,
             print(f"SNR {snr_db:6.2f} dB | BLER {bler:.6f} (round0 {bler_r0:.6f}) | "
                   f"avg rounds {avg_rounds:.2f} | eff rate {eff_rate:.1f} bits/slot | "
                   f"eff TP {eff_tp:.2f}% | {n_done} trials in {dt:.1f}s")
-        if eff_tp < eff_tp_check:
-            all_pass = False
-    return results, all_pass
+        if eff_tp_check > 0 and eff_tp >= eff_tp_check:
+            # reference semantics (ulsim.c:1572): the sweep passes at the
+            # FIRST SNR meeting the effective-throughput gate
+            passed = True
+            break
+    if eff_tp_check <= 0:
+        passed = True            # -t 0: curve mode, sweep everything
+    return results, passed
 
 
 def main(argv=None):
@@ -198,7 +203,8 @@ def main(argv=None):
           f"TBS {cfg.tbs} C={p.C} Z={p.Z} G={cfg.G} channel={args.channel} "
           f"dmrs={dmrs_syms} cdm={cdm}"
           + (f" ptrs=L{cfg.ptrs_l}K{cfg.ptrs_k}" if cfg.ptrs else ""))
-    snr1 = args.snr1 if args.snr1 is not None else args.snr0
+    # reference default sweep window: snr1 = snr0 + 10 (ulsim.c:538)
+    snr1 = args.snr1 if args.snr1 is not None else args.snr0 + 10.0
     snrs = np.arange(args.snr0, snr1 + 1e-9, args.snr_step)
     batch = args.batch or max(1, min(64, args.n_trials))
     results, ok = run_sweep(cfg, snrs, args.n_trials, batch,
