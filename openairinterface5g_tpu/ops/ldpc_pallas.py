@@ -250,24 +250,25 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
 
         inner = layered_iter if schedule == "layered" else flooding_iter
         if check_every:
-            # in-kernel early termination as a dynamic-trip-count while loop
-            # (the decode_abort_t / parity-early-stop analog of
-            # nrLDPC_decoder.c:554): once every CB in this sb-group passes
-            # all parity checks the loop exits.  The syndrome sweep costs
+            # in-kernel early termination (decode_abort_t / parity-early-
+            # stop analog, nrLDPC_decoder.c:554): a fixed-trip fori_loop
+            # whose body is PREDICATED on the SMEM done flag with pl.when
+            # — Mosaic's native predication, unlike the dynamic-trip
+            # while_loop it rejects on hardware.  Once every CB in the
+            # sb-group passes parity, remaining iterations skip all work
+            # (the loop shell itself is ~free).  The syndrome sweep costs
             # ~1 iteration of rolls, so it runs every `check_every` iters.
-            def w_cond(st):
-                return jnp.logical_and(st[0] < n_iters, st[1] == 0)
+            def guarded(it, carry):
+                @pl.when(done[0] == 0)
+                def _():
+                    inner(it, 0)
 
-            def w_body(st):
-                it, dn = st
-                inner(it, 0)
-                dn = jax.lax.cond(
-                    it % check_every == check_every - 1,
-                    _syndrome_ok, lambda: dn)
-                return it + 1, dn
+                    @pl.when((it % check_every) == check_every - 1)
+                    def _():
+                        done[0] = _syndrome_ok()
+                return carry
 
-            jax.lax.while_loop(w_cond, w_body,
-                               (jnp.int32(0), jnp.int32(0)))
+            jax.lax.fori_loop(0, n_iters, guarded, 0)
         else:
             jax.lax.fori_loop(0, n_iters, inner, 0)
         if schedule == "layered":
