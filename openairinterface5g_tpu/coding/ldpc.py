@@ -145,16 +145,27 @@ def build_graph(bg: int, Z: int) -> LDPCGraph:
 # Encoder
 # --------------------------------------------------------------------------
 
-def encode(graph: LDPCGraph, info_bits: jnp.ndarray) -> jnp.ndarray:
+def encode(graph: LDPCGraph, info_bits: jnp.ndarray,
+           n_cols: int | None = None) -> jnp.ndarray:
     """LDPC encode.
 
     info_bits: (batch, K) int8 in {0,1}; filler bits must already be 0.
-    Returns (batch, cols*Z) full mother codeword (systematic first; the
-    caller punctures the first 2Z bits in rate matching).
+    Returns (batch, n_cols*Z) mother codeword prefix (systematic first;
+    the caller punctures the first 2Z bits in rate matching).
+    n_cols: number of mother-code columns actually needed (defaults to
+    all).  Rate matching only ever reads the first
+    ceil((2Z + max_d_used)/Z) columns, so TX skips the unused extension
+    parity rows — at typical rates that is most of them.
     Parity anchor: ldpc_encoder_optim8segmulti.c:46 (LDPCencoder).
+
+    A (B, R, D, Z) gather formulation of the per-edge shifts measured 2x
+    SLOWER than this roll/XOR chain on TPU (lane gathers serialize,
+    docs/PERF.md round 5) — rolls lower to slice+concat pairs.
     """
     g = graph
     Z, kc, tab = g.Z, g.kc, g.tab
+    n_cols = g.cols if n_cols is None else min(n_cols, g.cols)
+    n_ext = max(0, n_cols - kc - 4)
     B = info_bits.shape[0]
     c = info_bits.astype(jnp.uint8).reshape(B, kc, Z)
     blocks = [c[:, j] for j in range(kc)]  # each (B, Z)
@@ -184,9 +195,9 @@ def encode(graph: LDPCGraph, info_bits: jnp.ndarray) -> jnp.ndarray:
     for j in range(kc + 1, kc + 4):
         blocks.append(parity[j])
     # extension parities: p_{kc+r} = XOR over info+core cols of row r
-    for r in range(4, g.rows):
+    for r in range(4, 4 + n_ext):
         blocks.append(row_acc(r, kc + 4))
-    return jnp.stack(blocks, axis=1).reshape(B, g.cols * Z).astype(jnp.int8)
+    return jnp.stack(blocks, axis=1).reshape(B, n_cols * Z).astype(jnp.int8)
 
 
 # --------------------------------------------------------------------------

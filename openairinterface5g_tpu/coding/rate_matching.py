@@ -278,6 +278,19 @@ def _fused_rx_body(graph, seg_of_group, B, dtype, es, rv, qm, F,
     return full
 
 
+def tx_cols_needed(graph, rv: int, es: tuple, F: int,
+                   ncb: int | None = None) -> int:
+    """Number of mother-code columns the TX bit selection actually reads
+    (incl. the 2Z punctured head) — lets ldpc.encode skip the extension
+    parity rows past the last transmitted bit."""
+    g = graph
+    max_end = 0
+    for (_, _, E) in _cb_groups(tuple(es)):
+        for (_, d0, ln) in _rx_runs(g.bg, g.Z, g.kc, rv, E, F, ncb):
+            max_end = max(max_end, d0 + ln)
+    return 2 + -(-max_end // g.Z)
+
+
 def fused_rate_match_tx(graph, codeword_cbs, rv: int, es: tuple, qm: int,
                         F: int, ncb: int | None = None):
     """(B, C, cols*Z) mother codewords -> (B, G) interleaved codeword bits.

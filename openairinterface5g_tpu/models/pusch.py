@@ -261,8 +261,11 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
     tb_crc = crc_attach(tb_bits.astype(jnp.int8), crc_name)
     cbs = segmentation.segment_tb(tb_crc, p)            # (B, C, K)
     g = ldpc.build_graph(p.bg, p.Z)
-    cw = ldpc.encode(g, cbs.reshape(B * p.C, p.K)).reshape(B, p.C, -1)
     es = cfg.cb_e_sizes(g_data)
+    n_cols = rate_matching.tx_cols_needed(g, rv, tuple(es), p.F,
+                                          ncb=cfg.ncb())
+    cw = ldpc.encode(g, cbs.reshape(B * p.C, p.K),
+                     n_cols=n_cols).reshape(B, p.C, -1)
     codeword = rate_matching.fused_rate_match_tx(
         g, cw, rv, tuple(es), qm, p.F, ncb=cfg.ncb())   # (B, G_data)
     if uci_cfg is not None:
@@ -281,12 +284,13 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
     # RE grid: (B, L, symbols, n_sc_bwp); allocation offset by cfg.sc0
     fp = cfg.fp
     n_sc = fp.n_sc
-    grid_re = jnp.zeros((B, cfg.n_layers, fp.symbols_per_slot, n_sc), jnp.complex64)
     m_per_sym = 12 * cfg.n_prb
     a0 = cfg.sc0
     if cfg.uses_re_map:
         assert not cfg.transform_precoding, "PTRS defined for CP-OFDM PUSCH"
         assert uci_cfg is None, "UCI+RE-map multiplexing not combined yet"
+        grid_re = jnp.zeros((B, cfg.n_layers, fp.symbols_per_slot, n_sc),
+                            jnp.complex64)
         sym_ids, sc_ids = cfg.data_re_map()
         grid_re = grid_re.at[:, :, jnp.asarray(sym_ids),
                              jnp.asarray(sc_ids + a0)].set(layers)
@@ -299,16 +303,34 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
                     pilp = refsig.dmrs_sequence_np(cinit_p,
                                                    len(cfg.ptrs_rel_sc()))
                     grid_re = grid_re.at[:, 0, s, psc].set(pilp)
-    else:
-        for i, s in enumerate(cfg.data_symbols):
-            grid_re = grid_re.at[:, :, s, a0: a0 + m_per_sym].set(
-                layers[..., i * m_per_sym: (i + 1) * m_per_sym])
+        # DMRS rows scattered per symbol/layer (sparse comb within the
+        # data-carrying symbol; stays on the gather/scatter path)
+        for si, s in enumerate(cfg.dmrs_symbols):
+            pil = cfg.dmrs_pilot(s)
+            for lay in range(cfg.n_layers):
+                port = cfg.dmrs_port0 + lay
+                if cfg.dmrs_max_len == 2:
+                    wf, wt, delta = refsig.dmrs_type1_port_weights_double(port)
+                    tw = complex(wt[si % 2])
+                else:
+                    wf, delta = refsig.dmrs_type1_port_weights(port)
+                    tw = 1.0
+                sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta) + a0
+                w = jnp.asarray(np.tile(wf, 3 * cfg.n_prb), dtype=jnp.complex64)
+                grid_re = grid_re.at[:, lay, s, jnp.asarray(sc)].set(pil * w * tw)
+        return grid_re, scrambled
 
-    # DMRS insertion (type 1, ports dmrs_port0..+L-1); double-symbol DMRS
-    # (maxLength=2) adds the time OCC wt over each symbol pair; low-PAPR
-    # sequence instead of Gold QPSK when transform precoding
+    # Rectangular allocation fast path: the slot grid is stitched from
+    # contiguous symbol runs with ONE concat + ONE pad — no scatters.  The
+    # reference writes the grid RE-by-RE per symbol (nr_dlsch.c:56 map
+    # loops); the round-4 `.at[].set` translation of that cost ~0.6 ms/step
+    # at 273 PRB (docs/PERF.md round 5).  DMRS rows (pilots x OCC weights)
+    # are config-static host constants — zero device ops to build.
+    data = layers.reshape(B, cfg.n_layers, len(cfg.data_symbols), m_per_sym)
+    nd = len(cfg.dmrs_symbols)
+    dm = np.zeros((cfg.n_layers, nd, m_per_sym), np.complex64)
     for si, s in enumerate(cfg.dmrs_symbols):
-        pil = cfg.dmrs_pilot(s)
+        pil = cfg.dmrs_pilot_np(s)
         for lay in range(cfg.n_layers):
             port = cfg.dmrs_port0 + lay
             if cfg.dmrs_max_len == 2:
@@ -317,10 +339,35 @@ def pusch_tx_grid(cfg: PuschConfig, tb_bits: jnp.ndarray, rv: int = 0,
             else:
                 wf, delta = refsig.dmrs_type1_port_weights(port)
                 tw = 1.0
-            sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta) + a0
-            w = jnp.asarray(np.tile(wf, 3 * cfg.n_prb), dtype=jnp.complex64)
-            grid_re = grid_re.at[:, lay, s, jnp.asarray(sc)].set(pil * w * tw)
-
+            sc = refsig.dmrs_type1_sc_indices(cfg.n_prb, delta)
+            w = np.tile(wf, 3 * cfg.n_prb)
+            dm[lay, si, sc] = pil * w * tw
+    dmrs_rows = jnp.broadcast_to(jnp.asarray(dm)[None],
+                                 (B, cfg.n_layers, nd, m_per_sym))
+    data_set, dmrs_set = set(cfg.data_symbols), set(cfg.dmrs_symbols)
+    pieces, s, di, mi = [], 0, 0, 0
+    sps = fp.symbols_per_slot
+    while s < sps:
+        r = s + 1
+        kind = ("data" if s in data_set
+                else "dmrs" if s in dmrs_set else "zero")
+        while r < sps and (("data" if r in data_set else
+                            "dmrs" if r in dmrs_set else "zero") == kind):
+            r += 1
+        n = r - s
+        if kind == "data":
+            pieces.append(data[:, :, di: di + n])
+            di += n
+        elif kind == "dmrs":
+            pieces.append(dmrs_rows[:, :, mi: mi + n])
+            mi += n
+        else:
+            pieces.append(jnp.zeros((B, cfg.n_layers, n, m_per_sym),
+                                    jnp.complex64))
+        s = r
+    alloc = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=2)
+    grid_re = jnp.pad(alloc, ((0, 0), (0, 0), (0, 0),
+                              (a0, n_sc - a0 - m_per_sym)))
     return grid_re, scrambled
 
 

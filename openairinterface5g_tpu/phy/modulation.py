@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,16 +54,40 @@ def constellation(qm: int) -> np.ndarray:
 def modulate(bits: jnp.ndarray, qm: int, pi2_bpsk: bool = False) -> jnp.ndarray:
     """(..., E) bits -> (..., E/qm) complex symbols.
 
+    Evaluates the 38.211 §5.1 constellation formulas arithmetically on
+    bit planes instead of a table gather: a 2^Qm-entry `jnp.take` over
+    the codeword serializes on the TPU (measured 10.4 ms vs 0.67 ms for
+    the arithmetic form at G=340k, docs/PERF.md round 5) while the
+    elementwise form fuses with scrambling and layer mapping.
+
     pi2_bpsk applies the pi/2 rotation j^(i mod 2) per symbol index
     (TS 38.211 §5.1.1) used by transform-precoded PUSCH.
     """
     E = bits.shape[-1]
     lead = bits.shape[:-1]
-    groups = bits.reshape(*lead, E // qm, qm).astype(jnp.int32)
-    weights = jnp.asarray(1 << np.arange(qm - 1, -1, -1), dtype=jnp.int32)
-    idx = jnp.sum(groups * weights, axis=-1)
-    table = jnp.asarray(constellation(qm))
-    syms = jnp.take(table, idx, axis=0)
+    g = bits.reshape(*lead, E // qm, qm).astype(jnp.float32)
+    s = [1.0 - 2.0 * g[..., k] for k in range(qm)]
+    if qm == 1:  # BPSK: d = (1-2b)(1+j)/sqrt(2)
+        re = s[0] * np.float32(1 / np.sqrt(2))
+        im = re
+    else:
+        # Gray-mapped square QAM: re from even bit planes, im from odd
+        k = qm // 2
+        norm = np.float32(1 / np.sqrt(2 / 3 * (4 ** k - 1)))
+
+        def nested(planes):
+            # planes = [s0, s2, s4, ...] (k of them); value =
+            # s0*(2^{k-1} - s2*(2^{k-2} - ... - s_{2(k-1)}))
+            if k == 1:
+                return planes[0]
+            acc = planes[-1]
+            for i in range(k - 2, 0, -1):
+                acc = planes[i] * (float(1 << (k - 1 - i)) - acc)
+            return planes[0] * (float(1 << (k - 1)) - acc)
+
+        re = nested(s[0::2]) * norm
+        im = nested(s[1::2]) * norm
+    syms = jax.lax.complex(re, im)
     if pi2_bpsk:
         assert qm == 1
         n = syms.shape[-1]

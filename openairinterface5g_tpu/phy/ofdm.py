@@ -23,47 +23,71 @@ def map_to_grid(fp: FrameParams, re_values: jnp.ndarray) -> jnp.ndarray:
     """(..., symbols, n_sc) occupied REs -> (..., symbols, fft_size) grid.
 
     RE k (k=0 lowest PRB) lands at FFT bin (first_carrier + k) % fft_size.
+    The wrap splits the REs into exactly two contiguous chunks, so the
+    mapping is one concatenation (positive freqs | guard zeros | negative
+    freqs) — a full-grid scatter serializes on TPU.
     """
     n_sc = fp.n_sc
     lead = re_values.shape[:-1]
-    grid = jnp.zeros((*lead, fp.fft_size), dtype=re_values.dtype)
-    idx = (fp.first_carrier + np.arange(n_sc)) % fp.fft_size
-    return grid.at[..., jnp.asarray(idx)].set(re_values)
+    n_hi = fp.fft_size - fp.first_carrier     # REs in the upper (neg-freq) bins
+    zeros = jnp.zeros((*lead, fp.fft_size - n_sc), dtype=re_values.dtype)
+    return jnp.concatenate(
+        [re_values[..., n_hi:], zeros, re_values[..., :n_hi]], axis=-1)
 
 
 def extract_from_grid(fp: FrameParams, grid: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of map_to_grid."""
-    idx = (fp.first_carrier + np.arange(fp.n_sc)) % fp.fft_size
-    return grid[..., jnp.asarray(idx)]
+    """Inverse of map_to_grid (two slices + concat)."""
+    n_hi = fp.fft_size - fp.first_carrier
+    return jnp.concatenate(
+        [grid[..., fp.first_carrier:], grid[..., : fp.n_sc - n_hi]], axis=-1)
+
+
+def _cp_segments(cps: np.ndarray):
+    """Runs (l0, l1, cp) of consecutive symbols sharing a CP length."""
+    segs, l = [], 0
+    while l < len(cps):
+        r = l + 1
+        while r < len(cps) and cps[r] == cps[l]:
+            r += 1
+        segs.append((l, r, int(cps[l])))
+        l = r
+    return segs
 
 
 def ofdm_modulate(fp: FrameParams, grid: jnp.ndarray, slot: int) -> jnp.ndarray:
     """(..., symbols, fft) freq grid -> (..., samples) time-domain slot.
 
     IFFT per symbol + CP insertion (PHY_ofdm_mod analog, ofdm_mod.c:125).
+    Symbols sharing a CP length are emitted with one concat + reshape per
+    run (2 runs per slot) instead of a per-symbol concat loop.
     """
     x = jnp.fft.ifft(grid, axis=-1).astype(jnp.complex64) * jnp.sqrt(jnp.float32(fp.fft_size))
-    cps = fp.cp_lengths(slot)
+    lead = x.shape[:-2]
     parts = []
-    for l in range(fp.symbols_per_slot):
-        sym = x[..., l, :]
-        cp = sym[..., -int(cps[l]):]
-        parts.append(jnp.concatenate([cp, sym], axis=-1))
-    return jnp.concatenate(parts, axis=-1)
+    for (l0, l1, cp) in _cp_segments(fp.cp_lengths(slot)):
+        seg = x[..., l0:l1, :]
+        withcp = jnp.concatenate([seg[..., -cp:], seg], axis=-1)
+        parts.append(withcp.reshape(*lead, (l1 - l0) * (cp + fp.fft_size)))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
 def ofdm_demodulate(fp: FrameParams, samples: jnp.ndarray, slot: int) -> jnp.ndarray:
     """(..., samples) time-domain slot -> (..., symbols, fft) freq grid.
 
     CP removal + FFT per symbol (nr_slot_fep_ul analog, slot_fep_nr.c:223).
+    Equal-CP symbol runs are sliced with one reshape per run.
     """
     offs = fp.symbol_offsets(slot)
     cps = fp.cp_lengths(slot)
-    syms = []
-    for l in range(fp.symbols_per_slot):
-        start = int(offs[l] + cps[l])
-        syms.append(samples[..., start: start + fp.fft_size])
-    x = jnp.stack(syms, axis=-2)
+    lead = samples.shape[:-1]
+    segs = []
+    for (l0, l1, cp) in _cp_segments(cps):
+        start = int(offs[l0])
+        width = (cp + fp.fft_size) * (l1 - l0)
+        chunk = samples[..., start: start + width].reshape(
+            *lead, l1 - l0, cp + fp.fft_size)
+        segs.append(chunk[..., cp:])
+    x = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=-2)
     return jnp.fft.fft(x, axis=-1).astype(jnp.complex64) / jnp.sqrt(jnp.float32(fp.fft_size))
 
 

@@ -6,7 +6,7 @@ One scan step = one full gNB slot: compose+OFDM a 273-PRB 2-layer PDSCH
 DL slot AND run the complete PUSCH RX (fused frontend + rate recovery +
 pallas LDPC decode) on a 2x2 UL slot.  Slope methodology as bench.py.
 
-Writes BENCH_TXRX_r4.json next to the repo root when --json is given.
+Writes BENCH_TXRX_r05.json next to the repo root when --json is given.
 """
 from __future__ import annotations
 
@@ -59,7 +59,7 @@ def main():
             # carry so every step transmits distinct data)
             tbd = jnp.bitwise_xor(tb_dl, (c.astype(jnp.int8) & 1))
             g, _ = pusch_tx_grid(dl, tbd)
-            txs = ofdm_modulate(dl.fp, map_to_grid(dl.fp, g[:, 0]), 0)
+            txs = ofdm_modulate(dl.fp, map_to_grid(dl.fp, g), 0)
             dl_sum = jnp.sum(jnp.abs(txs))
             # UL RX: complete PUSCH receive
             ok = pusch_rx(cfg, r, n_iters=8)["tb_ok"]
@@ -88,12 +88,12 @@ def main():
         "value": round(slots_s, 2),
         "unit": "slots/s/chip",
         "vs_baseline": round(slots_s / 2000.0, 4),
-        "note": "DL TX (273 PRB 2-layer PDSCH slot compose+OFDM) + full "
-                "UL PUSCH RX per slot; slope-timed",
+        "note": "DL TX (273 PRB 2-layer PDSCH slot compose+OFDM, both "
+                "ports) + full UL PUSCH RX per slot; slope-timed",
     }
     print(json.dumps(res))
     if "--json" in sys.argv:
-        with open("/root/repo/BENCH_TXRX_r4.json", "w") as f:
+        with open("/root/repo/BENCH_TXRX_r05.json", "w") as f:
             json.dump(res, f)
 
 
