@@ -690,8 +690,15 @@ def pusch_decode_codeword(cfg: PuschConfig, llr_cw, rv: int = 0,
     g = ldpc.build_graph(p.bg, p.Z)
     es = cfg.cb_e_sizes(g_data)
     if planes is not None:
+        # stage the mother-code buffer in bf16 for the Pallas decoder: the
+        # (B, C, cols*Z) buffer is the largest RX tensor (87 MB f32 at the
+        # flagship config) and the kernel casts to f32 on the VMEM load —
+        # half the HBM traffic for ~2^-8 relative LLR rounding
+        src = (planes.astype(jnp.bfloat16)
+               if cfg.decoder_backend == "pallas" and p.Z % 128 == 0
+               else planes)
         stacked = rate_matching.fused_rate_match_rx_planes(
-            g, planes, rv, tuple(es), qm, p.F, harq_buffer=harq_buffers,
+            g, src, rv, tuple(es), qm, p.F, harq_buffer=harq_buffers,
             ncb=cfg.ncb())
         llr_cw = planes
     else:

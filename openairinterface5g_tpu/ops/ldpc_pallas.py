@@ -60,7 +60,8 @@ def _edges(graph: LDPCGraph):
 @functools.lru_cache(maxsize=32)
 def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                    schedule: str = "layered", sb: int = 16, msg_dtype=jnp.float32,
-                   check_every: int = 0, debug_noroll: bool = False):
+                   check_every: int = 0, debug_noroll: bool = False,
+                   layout: str = "col", in_dtype=jnp.float32):
     """msg_dtype selects the numeric path:
       float32  — float messages/totals (default)
       bfloat16 — bf16 messages AND compute: half the vector registers per
@@ -72,6 +73,17 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
     The int8 path expects int32 LLRs pre-quantized to [-127, 127].
     debug_noroll: timing-isolation mode — skips all lane rotations
     (decodes garbage; only for measuring the roll share of kernel time).
+
+    layout selects the I/O tiling:
+      'col'  — (C, n_groups*sb, Z) blocks (any Z); the XLA caller pays a
+               (B, C, Z) -> (C, B, Z) transpose each way (~0.2 ms at the
+               87 MB flagship buffer)
+      'flat' — (n_groups*sb, C*Z) B-major blocks, requires Z % 128 == 0:
+               column c is the pure lane-range slice [:, c*Z:(c+1)*Z], so
+               the rate-matched buffer feeds the kernel with ZERO
+               transposes end to end.
+    in_dtype: input LLR dtype for the flat path (bf16 halves the HBM
+    traffic of the staged buffer; cast to acc_dtype on the VMEM load).
     """
     graph = build_graph(bg, Z)
     rows_edges = _edges(graph)
@@ -155,20 +167,36 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
             return jnp.where(neg == 1, -mag, mag)
         return mag * sgn * _sign(v)
 
+    flat = layout == "flat"
+    if flat:
+        assert Z % 128 == 0, "flat layout needs lane-aligned column slices"
+
     def kernel(llr_ref, bits_ref, ok_ref, c2v, totals, done):
-        # llr_ref, bits_ref: (C, sb, Z); c2v: (E, sb, Z); totals: (C, sb, Z)
+        # llr_ref, bits_ref: (C, sb, Z) ['col'] or (sb, C*Z) ['flat'];
+        # c2v: (E, sb, Z); totals: (C, sb, Z)
         # done: (1,) SMEM flag for in-kernel early termination — once every
         # code block in this group satisfies all parity checks, remaining
         # fori iterations become no-ops (the decode_abort_t / CRC-early-stop
         # analog of nrLDPC_decoder.c:554).
+        def lcol(c):
+            v = llr_ref[:, c * Z: (c + 1) * Z] if flat else llr_ref[c]
+            return v.astype(acc_dtype) if v.dtype != acc_dtype else v
+
+        def bput(c, v):
+            if flat:
+                bits_ref[:, c * Z: (c + 1) * Z] = v
+            else:
+                bits_ref[c] = v
+
         c2v[...] = jnp.zeros((E, sb, Z), msg_dtype)
         if schedule == "layered":
             # pre-rotate each column into its iteration-boundary orientation
             for c in range(C):
                 e = int(entry_shift[c])
-                totals[c] = _roll(llr_ref[c], -e)
+                totals[c] = _roll(lcol(c), -e)
         else:
-            totals[...] = llr_ref[...]
+            for c in range(C):
+                totals[c] = lcol(c)
         done[0] = 0
 
         def _syndrome_ok():
@@ -209,7 +237,8 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
                     val = _edge_val(mag, sgn, rot[d])
                     c2v[base + d] = _sat(_roll(val, s))
             # variable-node pass
-            totals[...] = llr_ref[...]
+            for c in range(C):
+                totals[c] = lcol(c)
             for ri, (r, es) in enumerate(rows_edges):
                 base = int(edge_base[ri])
                 for d, (c, s) in enumerate(es):
@@ -275,9 +304,10 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
             # undo the per-column iteration-boundary rotation
             for c in range(C):
                 e = int(entry_shift[c])
-                bits_ref[c] = _roll((totals[c] < 0).astype(bits_dtype), e)
+                bput(c, _roll((totals[c] < 0).astype(bits_dtype), e))
         else:
-            bits_ref[...] = (totals[...] < 0).astype(bits_dtype)
+            for c in range(C):
+                bput(c, (totals[c] < 0).astype(bits_dtype))
         # per-CB parity flag computed in VMEM (one extra E-roll sweep —
         # ~1 iteration of cost) instead of the former XLA gather epilogue,
         # which dominated the whole decode at large Z
@@ -304,20 +334,36 @@ def _build_decoder(bg: int, Z: int, n_iters: int, alpha: float,
         ok_ref[...] = jnp.broadcast_to((n_bad == 0).astype(jnp.int8), (sb, Z))
 
     def run(llr8):
-        """llr8: (C, n_groups*sb, Z) acc_dtype -> (bits (C, B, Z) int8,
-        ok (B, Z) int8 with the flag replicated across lanes)."""
-        n_groups = llr8.shape[1] // sb
+        """'col': llr8 (C, n_groups*sb, Z) -> (bits (C, B, Z) int8,
+        ok (B, Z) int8 with the flag replicated across lanes).
+        'flat': llr8 (n_groups*sb, C*Z) -> (bits (B, C*Z) int8, ok (B, Z))."""
+        if flat:
+            n_groups = llr8.shape[0] // sb
+            in_specs = [pl.BlockSpec((sb, C * Z), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)]
+            bits_spec = pl.BlockSpec((sb, C * Z), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+            bits_shape = jax.ShapeDtypeStruct(llr8.shape, bits_dtype)
+            n_b = llr8.shape[0]
+        else:
+            n_groups = llr8.shape[1] // sb
+            in_specs = [pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM)]
+            bits_spec = pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM)
+            bits_shape = jax.ShapeDtypeStruct(llr8.shape, bits_dtype)
+            n_b = llr8.shape[1]
         return pl.pallas_call(
             kernel,
             grid=(n_groups,),
-            in_specs=[pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM)],
+            in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((C, sb, Z), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                bits_spec,
                 pl.BlockSpec((sb, Z), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct(llr8.shape, bits_dtype),
-                jax.ShapeDtypeStruct((llr8.shape[1], Z), jnp.int8),
+                bits_shape,
+                jax.ShapeDtypeStruct((n_b, Z), jnp.int8),
             ],
             scratch_shapes=[
                 pltpu.VMEM((E, sb, Z), msg_dtype),
@@ -507,18 +553,38 @@ def decode_pallas(
         ok = ok_bz[:B, 0].astype(jnp.float32) > 0
         return bits[:, : g.K].astype(jnp.int8), ok
     sb = 16 if sb is None else sb
-    run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha, schedule, sb,
-                            msg_dtype, check_every, debug_noroll)
-    Bp = -(-B // sb) * sb
     if msg_dtype == jnp.int8:
         from ..phy.llr import quantize
         x = quantize(llr.astype(jnp.float32), bits=8).astype(jnp.int32)
+        in_dtype = jnp.int32
     elif msg_dtype == jnp.bfloat16:
         # clip so layered totals stay within bf16's near-exact small-int
         # range (same spirit as the reference's int8 saturation)
         x = jnp.clip(llr.astype(jnp.float32), -24.0, 24.0).astype(jnp.bfloat16)
+        in_dtype = jnp.bfloat16
     else:
-        x = llr.astype(jnp.float32)
+        x = llr if llr.dtype in (jnp.float32, jnp.bfloat16) \
+            else llr.astype(jnp.float32)
+        in_dtype = x.dtype
+    if Z % 128 == 0:
+        # flat B-major layout: the (B, cols*Z) rate-matched buffer IS the
+        # kernel input — no transposes either way
+        run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha, schedule,
+                                sb, msg_dtype, check_every, debug_noroll,
+                                layout="flat", in_dtype=in_dtype)
+        Bp = -(-B // sb) * sb
+        if Bp != B:
+            x = jnp.concatenate(
+                [x, jnp.zeros((Bp - B, C * Z), x.dtype)], axis=0)
+        bits_flat, ok_bz = run(x)
+        bits = bits_flat[:B].astype(jnp.int8)
+        ok = ok_bz[:B, 0] != 0
+        return bits[:, : g.K], ok
+    run, g = _build_decoder(graph.bg, graph.Z, n_iters, alpha, schedule, sb,
+                            msg_dtype, check_every, debug_noroll,
+                            in_dtype=in_dtype)
+    Bp = -(-B // sb) * sb
+    x = x.astype(jnp.float32) if msg_dtype == jnp.float32 else x
     x = x.reshape(B, C, Z)
     if Bp != B:
         x = jnp.concatenate([x, jnp.zeros((Bp - B, C, Z), x.dtype)], axis=0)
