@@ -36,10 +36,13 @@ def main():
 
     from openairinterface5g_tpu.models.pusch import PuschConfig, pusch_rx, pusch_tx
 
-    # decoder_first_iters=4: parity early-stop (nrLDPC_decoder.c:554 analog)
-    # — the full 8-iteration pass runs only when a CB fails parity after 4
+    # decoder_check_every=2: IN-KERNEL parity early termination
+    # (nrLDPC_decoder.c:554 analog) — a pl.when-predicated fori body checks
+    # the full syndrome every 2 iterations and skips the remaining work
+    # once every CB in the sublane group passes (tools/bench_ldpc_kernel.py
+    # measured +22% over the two-phase host fallback at the 8-iter point)
     cfg = PuschConfig(mu=1, n_prb=273, mcs=16, n_layers=2, n_rx=2,
-                      decoder_backend="pallas", decoder_first_iters=4)
+                      decoder_backend="pallas", decoder_check_every=2)
     B = 8   # slots per step (deeper batch amortizes per-op dispatch cost;
             # still within the reference's sl_ahead≈6-slot pipeline depth)
     n_rep = 128  # timed steps: amortizes the tunnel's fixed ~30 ms
