@@ -281,7 +281,14 @@ def decode(
         syn = jnp.sum(vals.reshape(B, R, D, Z), axis=2) & 1
         return jnp.all(syn == 0, axis=(1, 2))
 
-    if early_stop:
+    # Early-stop uses a dynamic-trip while_loop ONLY on CPU: on this
+    # TPU/libtpu, an XLA program containing TWO while_loops with
+    # large-gather bodies (e.g. the two chained HARQ-round decodes of
+    # ulsim at batch >= 32) deterministically crashes the TPU worker —
+    # minimal repro tools/crash_bisect.py --case xdec2-while; one
+    # while_loop or two fori_loops are fine (bisected round 5).  On TPU
+    # the early-stop request falls back to the fixed-trip fori schedule.
+    if early_stop and jax.default_backend() == "cpu":
         def cond(state):
             c2v, it, done = state
             return (it < n_iters) & jnp.logical_not(jnp.all(done))

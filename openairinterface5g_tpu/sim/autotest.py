@@ -112,10 +112,13 @@ def _gpp(mu, prb, n_rx, snr, iters=7, mcs=20, layers=1, chan="TDLA", ds="10"):
     MCS20 (or the MIMO variants), TDL channel, 2 HARQ rounds, >=70% eff
     throughput at the listed SNR.
 
-    Batch is capped: the two-HARQ-round graph at B>=32 on the larger
-    configs deterministically crashes the TPU worker (bisected round 4;
-    B=16 is safe, B=8 for the widest/multi-antenna points)."""
-    batch = "8" if (n_rx >= 4 or prb >= 217) else "16"
+    Batch caps: the round-4 two-HARQ-round worker crash was root-caused
+    in round 5 to TWO lax.while_loops with large-gather bodies in one XLA
+    program (libtpu fault; tools/crash_bisect.py --case xdec2-while) and
+    fixed by using the fixed-trip fori schedule on TPU (coding/ldpc.py).
+    B=32 verified clean on the 106-PRB point; wider/multi-antenna points
+    stay at 16 for VMEM headroom."""
+    batch = "16" if (n_rx >= 4 or prb >= 217) else "32"
     argv = ["-m", str(mcs), "-R", str(prb), "-u", str(mu), "-y", str(n_rx),
             "-g", chan, "--delay-spread", ds, "-M", "2", "-I", str(iters),
             "-s", str(snr), "-n", "128", "--batch", batch, "-t", "70", "-D", "1",
