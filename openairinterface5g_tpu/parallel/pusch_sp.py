@@ -9,8 +9,10 @@ over ICI — the overlap-save boundary; the CP makes symbol boundaries
 clean so only the frequency dim needs halo), then all-gathers LLR
 blocks and decodes its share of the code blocks.
 
-This module implements the single-DMRS-symbol SISO path; the MIMO path
-shards identically (the per-RE equalizer is local).
+Supports 1-layer MRC and 2-layer MMSE (CDM-group-0 port separation is
+local to a device because pilot pairs never straddle a PRB-block
+boundary; the per-RE equalizer is local; noise variance is a pmean over
+the mesh axis — a second ICI collective besides the halo/all-gather).
 """
 from __future__ import annotations
 
@@ -37,12 +39,12 @@ def pusch_rx_subcarrier_sharded(mesh: Mesh, cfg: PuschConfig,
                                 axis: str = "sp"):
     """(B, n_rx, symbols, n_sc) grid (replicated) -> decoded TB.
 
-    Requires cfg.n_layers == 1 and n_prb divisible by the axis size.
+    Requires cfg.n_layers in (1, 2) and n_prb divisible by the axis size.
     Subcarriers are sharded inside the shard_map; the input may be fully
     replicated (the realistic deployment would produce each block on the
     device that owns the corresponding fronthaul stream).
     """
-    assert cfg.n_layers == 1
+    assert cfg.n_layers in (1, 2), "sp path: MRC (1L) or MMSE (2L)"
     n_dev = mesh.shape[axis]
     m_per_sym = 12 * cfg.n_prb
     assert cfg.n_prb % n_dev == 0
@@ -58,29 +60,56 @@ def pusch_rx_subcarrier_sharded(mesh: Mesh, cfg: PuschConfig,
     cinit_d = refsig.dmrs_cinit(cfg.slot, s_dmrs, cfg.n_id)
     pil_full = refsig.dmrs_sequence(cinit_d, 6 * cfg.n_prb)
 
+    L = cfg.n_layers
+
     def block_fn(grid_blk, pil_blk):
-        """Per-device: (B, R, sym, blk) subcarrier block -> (B, blk*S*qm) LLRs."""
+        """Per-device: (B, R, sym, blk) subcarrier block ->
+        (B, S, blk*L*qm) LLRs in codeword-local order."""
         idx = jax.lax.axis_index(axis)
         yp = grid_blk[:, :, s_dmrs, ::2]           # comb-2 pilots (delta 0)
-        hp = ls_estimate(yp, pil_blk[0])
-        # halo exchange: neighbour's edge pilot for boundary interpolation
-        left_edge = jax.lax.ppermute(hp[..., -1:], axis,
-                                     [(i, (i + 1) % n_dev) for i in range(n_dev)])
-        right_edge = jax.lax.ppermute(hp[..., :1], axis,
-                                      [(i, (i - 1) % n_dev) for i in range(n_dev)])
-        # interpolate comb-2 within the block, using the halo at the seam
-        right = jnp.concatenate([hp[..., 1:], right_edge], axis=-1)
-        mid = 0.5 * (hp + right)
-        # last device's final midpoint has no right neighbour: hold
-        is_last = idx == n_dev - 1
-        mid = jnp.where(is_last, mid.at[..., -1].set(hp[..., -1]), mid)
-        h = jnp.stack([hp, mid], axis=-1).reshape(*hp.shape[:-1], 2 * hp.shape[-1])
-        # MRC per data symbol
+        ls = ls_estimate(yp, pil_blk[0])
         y = grid_blk[:, :, jnp.asarray(data_syms), :]
-        x = jnp.sum(jnp.conj(h)[:, :, None, :] * y, axis=1)
-        mag = jnp.broadcast_to(jnp.sum(jnp.abs(h) ** 2, axis=1)[:, None, :], x.shape)
-        llr_blk = llr_compute(x, mag.real, qm)      # (B, S, blk*qm)
-        return llr_blk
+        if L == 1:
+            hp = ls
+            # halo exchange: neighbour's edge pilot for boundary interp
+            right_edge = jax.lax.ppermute(hp[..., :1], axis,
+                                          [(i, (i - 1) % n_dev) for i in range(n_dev)])
+            # interpolate comb-2 within the block, using the halo at the seam
+            right = jnp.concatenate([hp[..., 1:], right_edge], axis=-1)
+            mid = 0.5 * (hp + right)
+            # last device's final midpoint has no right neighbour: hold
+            is_last = idx == n_dev - 1
+            mid = jnp.where(is_last, mid.at[..., -1].set(hp[..., -1]), mid)
+            h = jnp.stack([hp, mid], axis=-1).reshape(*hp.shape[:-1], 2 * hp.shape[-1])
+            # MRC per data symbol
+            x = jnp.sum(jnp.conj(h)[:, :, None, :] * y, axis=1)
+            mag = jnp.broadcast_to(jnp.sum(jnp.abs(h) ** 2, axis=1)[:, None, :], x.shape)
+            return llr_compute(x, mag.real, qm)     # (B, S, blk*qm)
+        # 2-layer: CDM group 0 freq-OCC separation on local pilot pairs
+        # (ports 0/1: wf = [+,+]/[+,-]; pairs are block-local)
+        even, odd = ls[..., 0::2], ls[..., 1::2]
+        hc = jnp.stack([0.5 * (even + odd), 0.5 * (even - odd)], axis=2)
+        # noise variance from pair-difference residuals, pmean over the
+        # mesh axis for a globally consistent MMSE regularizer
+        dd = hc[..., 1:] - hc[..., :-1]
+        nvar = jax.lax.pmean(jnp.mean(jnp.abs(dd) ** 2, axis=(1, 2, 3)),
+                             axis)                  # (B,)
+        # interpolate pair centers -> per-SC with right-neighbour halo
+        nxt = jax.lax.ppermute(hc[..., :1], axis,
+                               [(i, (i - 1) % n_dev) for i in range(n_dev)])
+        right = jnp.concatenate([hc[..., 1:], nxt], axis=-1)
+        is_last = idx == n_dev - 1
+        right = jnp.where(is_last,
+                          right.at[..., -1].set(hc[..., -1]), right)
+        mid = 0.5 * (hc + right)
+        h4 = jnp.stack([hc, hc, mid, mid], axis=-1)  # nearest/lerp mix
+        h = h4.reshape(*hc.shape[:-1], 4 * hc.shape[-1])  # (B, R, 2, blk)
+        from ..models.pusch import _mmse_over_syms
+        x, mag = _mmse_over_syms(h, y, nvar)         # (B, 2, S, blk)
+        lv = llr_compute(x, mag, qm)                 # (B, 2, S*blk*qm)
+        # codeword-local order per (symbol, sc): layer-major qm groups
+        lv = lv.reshape(B, 2, len(data_syms), -1, qm)
+        return lv.transpose(0, 2, 3, 1, 4).reshape(B, len(data_syms), -1)
 
     es = cfg.cb_e_sizes()
     offs = np.concatenate([[0], np.cumsum(es)])
