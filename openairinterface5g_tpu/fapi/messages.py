@@ -150,8 +150,10 @@ class StopRequest:
 
 @dataclasses.dataclass
 class PdschPdu:
-    """nfapi_nr_dl_tti_pdsch_pdu_rel15_t subset."""
-    _S: ClassVar[struct.Struct] = struct.Struct("<HHBBHHBBBBBH")
+    """nfapi_nr_dl_tti_pdsch_pdu_rel15_t subset (+ rvIndex and the HARQ
+    process fields the reference carries in the companion DCI — kept on
+    the PDU so the scheduler's HARQ decisions ride the same message)."""
+    _S: ClassVar[struct.Struct] = struct.Struct("<HHBBHHBBBBBHBBB")
 
     rnti: int = 0x1234
     pdu_index: int = 0
@@ -165,6 +167,9 @@ class PdschPdu:
     dmrs_ports: int = 1
     dmrs_max_len: int = 1
     n_id: int = 0
+    rv: int = 0
+    harq_process_id: int = 0
+    new_data: int = 1
     dmrs_symb_pos: tuple = (2,)
 
     def pack(self) -> bytes:
@@ -172,7 +177,8 @@ class PdschPdu:
             self.rnti, self.pdu_index, self.mcs, self.mcs_table,
             self.rb_start, self.rb_size, self.start_symbol,
             self.nr_of_symbols, self.n_layers, self.dmrs_ports,
-            self.dmrs_max_len, self.n_id) + _pack_u16s(self.dmrs_symb_pos)
+            self.dmrs_max_len, self.n_id, self.rv, self.harq_process_id,
+            self.new_data) + _pack_u16s(self.dmrs_symb_pos)
 
     @classmethod
     def unpack(cls, buf: bytes, off: int):

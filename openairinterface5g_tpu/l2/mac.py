@@ -115,31 +115,40 @@ class MacScheduler:
 
     # ---- indication handlers (NR_UL_indication analog) ----
 
+    def _harq_feedback(self, ue: UeMacState, harq_id: int, ok: bool,
+                       ul: bool):
+        pool = ue.ul_harq if ul else ue.dl_harq
+        h = pool[harq_id]
+        ue.bler_ewma = (1 - 0.05) * ue.bler_ewma + 0.05 * (0.0 if ok else 1.0)
+        if ok:
+            if ul and h.active:
+                ue.ul_buffer = max(0, ue.ul_buffer - h.tbs)
+            h.active = False
+            h.round = 0
+        else:
+            h.round += 1
+            if h.round >= 4:       # max rounds: drop (RLC retransmits)
+                h.active = False
+                h.round = 0
+        # link adaptation: back off MCS if BLER above target
+        if ue.bler_ewma > self.cfg.target_bler * 1.5:
+            ue.mcs_offset = max(-6, ue.mcs_offset - 1)
+            ue.bler_ewma = self.cfg.target_bler
+        elif ue.bler_ewma < self.cfg.target_bler * 0.3:
+            ue.mcs_offset = min(2, ue.mcs_offset + 1)
+            ue.bler_ewma = self.cfg.target_bler * 0.75
+
     def on_crc(self, ind: fapi.CrcIndication, ul: bool = True):
         for handle, rnti, harq_id, ok in ind.crcs:
             ue = self.ues.get(rnti)
-            if ue is None:
-                continue
-            pool = ue.ul_harq if ul else ue.dl_harq
-            h = pool[harq_id]
-            ue.bler_ewma = (1 - 0.05) * ue.bler_ewma + 0.05 * (0.0 if ok else 1.0)
-            if ok:
-                if ul and h.active:
-                    ue.ul_buffer = max(0, ue.ul_buffer - h.tbs)
-                h.active = False
-                h.round = 0
-            else:
-                h.round += 1
-                if h.round >= 4:       # max rounds: drop (RLC retransmits)
-                    h.active = False
-                    h.round = 0
-            # link adaptation: back off MCS if BLER above target
-            if ue.bler_ewma > self.cfg.target_bler * 1.5:
-                ue.mcs_offset = max(-6, ue.mcs_offset - 1)
-                ue.bler_ewma = self.cfg.target_bler
-            elif ue.bler_ewma < self.cfg.target_bler * 0.3:
-                ue.mcs_offset = min(2, ue.mcs_offset + 1)
-                ue.bler_ewma = self.cfg.target_bler * 0.75
+            if ue is not None:
+                self._harq_feedback(ue, harq_id, ok, ul)
+
+    def on_dl_ack(self, rnti: int, harq_id: int, ack: bool):
+        """DL HARQ feedback from PUCCH HARQ-ACK (handle_nr_uci analog)."""
+        ue = self.ues.get(rnti)
+        if ue is not None:
+            self._harq_feedback(ue, harq_id, ack, ul=False)
 
     def on_uci_cqi(self, rnti: int, cqi: int):
         if rnti in self.ues:
@@ -239,7 +248,8 @@ class MacScheduler:
                         dl_pdus.append(fapi.PdschPdu(
                             rnti=ue.rnti, pdu_index=len(dl_pdus), mcs=h.mcs,
                             rb_start=h.prbs[0], rb_size=h.prbs[1],
-                            nr_of_symbols=cfg.n_dl_symbols))
+                            nr_of_symbols=cfg.n_dl_symbols, rv=h.rv,
+                            harq_process_id=hid, new_data=0))
                         payloads.append(h.payload)
             cands = [u for u in self.ues.values()
                      if u.dl_buffer > 0 and u.free_harq(u.dl_harq) is not None]
@@ -254,7 +264,8 @@ class MacScheduler:
                 ue.avg_thr_dl = (1 - a) * ue.avg_thr_dl + a * tbs
                 dl_pdus.append(fapi.PdschPdu(
                     rnti=ue.rnti, pdu_index=len(dl_pdus), mcs=mcs, rb_start=p0,
-                    rb_size=sz, nr_of_symbols=cfg.n_dl_symbols))
+                    rb_size=sz, nr_of_symbols=cfg.n_dl_symbols, rv=0,
+                    harq_process_id=hid, new_data=1))
                 payloads.append(pay)
 
         ul_pdus = []

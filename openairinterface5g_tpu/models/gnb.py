@@ -82,11 +82,13 @@ class SlotUlConfig:
 
 def gnb_dl_slot(dl: SlotDlConfig, tb_payloads: Sequence[jnp.ndarray],
                 mib_payload: jnp.ndarray | None = None,
-                dci_payloads: Sequence[jnp.ndarray] = ()):
+                dci_payloads: Sequence[jnp.ndarray] = (),
+                rvs: Sequence[int] = ()):
     """Compose + transmit one DL slot.
 
     tb_payloads[i]: (B, TBS_i) bits for pdsch[i]; mib_payload: (B, 32);
-    dci_payloads[i]: (B, A_i) bits for pdcch[i].
+    dci_payloads[i]: (B, A_i) bits for pdcch[i]; rvs[i]: redundancy
+    version for pdsch[i] (HARQ retransmissions; default 0).
     Returns (samples (B, n_ant, n_samp), per-pdu scrambled bits).
     """
     fp = make_frame_params(dl.mu, dl.n_bwp_prb)
@@ -102,8 +104,8 @@ def gnb_dl_slot(dl: SlotDlConfig, tb_payloads: Sequence[jnp.ndarray],
     n_ant = max([p.n_layers for p in dl.pdsch] or [1])
     grid_re = jnp.zeros((B, n_ant, fp.symbols_per_slot, fp.n_sc), jnp.complex64)
     debug_bits = []
-    for cfg, tb in zip(dl.pdsch, tb_payloads):
-        g, scr = pusch_tx_grid(cfg, tb)
+    for j, (cfg, tb) in enumerate(zip(dl.pdsch, tb_payloads)):
+        g, scr = pusch_tx_grid(cfg, tb, rv=(rvs[j] if j < len(rvs) else 0))
         grid_re = grid_re.at[:, : cfg.n_layers].add(g)
         debug_bits.append(scr)
     if dl.ssb is not None:

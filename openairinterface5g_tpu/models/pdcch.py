@@ -242,7 +242,8 @@ def blind_search(rx_res: jnp.ndarray, A: int, rnti: int,
                  aggregation_levels=(1, 2, 4, 8), n_id: int = 0,
                  coreset_prb: int = 48, slot: int = 0, list_size: int = 8,
                  coreset: CoresetConfig | None = None,
-                 candidates_per_al=(6, 6, 2, 2), css: bool = True):
+                 candidates_per_al=(6, 6, 2, 2), css: bool = True,
+                 start_symbol: int = 0):
     """UE-side DCI blind decode over (AL, candidate) hypotheses.
 
     Mirrors nr_dci_decoding_procedure (dci_nr.c:768): for each
@@ -268,7 +269,8 @@ def blind_search(rx_res: jnp.ndarray, A: int, rnti: int,
                 continue
             tried.add(cce0)
             cfg = DciConfig(A=A, aggregation_level=al, rnti=rnti, n_id=n_id,
-                            coreset=cs, cce_index=cce0)
+                            coreset=cs, cce_index=cce0,
+                            start_symbol=start_symbol)
             bits, ok = pdcch_rx(cfg, rx_res, slot=slot, list_size=list_size)
             take = ok & ~found
             best_payload = jnp.where(take[:, None], bits, best_payload)

@@ -62,12 +62,16 @@ class UeConfig:
 
 
 def ue_receive_slot(ue: UeConfig, re_grid: jnp.ndarray, n_iters: int = 10,
-                    slot: int = 0):
+                    slot: int = 0, harq_buffers=None):
     """Control+data receive: blind-decode DCI, configure + run PDSCH RX.
 
     re_grid: (B, n_rx, symbols, n_sc_bwp).  All trials in the batch must
     carry the same grant (one compile per grant shape).  Returns dict
-    with dci fields, dci_found, tb_bits, tb_ok.
+    with dci fields, dci_found, tb_bits, tb_ok, harq_buffers.
+
+    harq_buffers: previous-round soft LLR buffer for the granted HARQ
+    process (caller keys its buffer store by the grant's harq_id — the
+    nr_dlsch_decoding HARQ round combine, SURVEY.md P31/P14).
     """
     coreset = re_grid[:, :, ue.coreset_symbol, : 12 * ue.coreset_prb]
     dci_bits, found, al = blind_search(coreset, DCI_A, ue.rnti,
@@ -83,6 +87,8 @@ def ue_receive_slot(ue: UeConfig, re_grid: jnp.ndarray, n_iters: int = 10,
                       n_id=ue.n_id, n_rx=ue.n_rx,
                       start_symbol=2, n_symbols=12, dmrs_symbols=(2,))
     from .pusch import pusch_rx_grid
-    out = pusch_rx_grid(cfg, re_grid, rv=grant["rv"], n_iters=n_iters)
+    out = pusch_rx_grid(cfg, re_grid, rv=grant["rv"], n_iters=n_iters,
+                        harq_buffers=harq_buffers)
     return {"dci_found": found, "grant": grant, "al": al,
-            "tb_bits": out["tb_bits"], "tb_ok": out["tb_ok"], "cfg": cfg}
+            "tb_bits": out["tb_bits"], "tb_ok": out["tb_ok"], "cfg": cfg,
+            "harq_buffers": out["harq_buffers"]}
