@@ -129,10 +129,15 @@ def gnb_dl_slot(dl: SlotDlConfig, tb_payloads: Sequence[jnp.ndarray],
     for pdu in dl.csirs:
         from .csirs import csirs_tx_grid
         width = 12 * pdu.cfg.n_prb
-        row = csirs_tx_grid(pdu.cfg, B, width)           # (B, 12*n_prb)
+        row = csirs_tx_grid(pdu.cfg, B, width)  # (B, 12*n_prb) or (B,P,..)
         sc0 = 12 * pdu.prb_start
-        grid_re = grid_re.at[:, 0, pdu.cfg.symbol,
-                             sc0: sc0 + width].add(row)
+        if row.ndim == 2:
+            grid_re = grid_re.at[:, 0, pdu.cfg.symbol,
+                                 sc0: sc0 + width].add(row)
+        else:
+            P = row.shape[1]
+            grid_re = grid_re.at[:, :P, pdu.cfg.symbol,
+                                 sc0: sc0 + width].add(row)
     grid = map_to_grid(fp, grid_re)
     return ofdm_modulate(fp, grid, dl.slot), debug_bits
 

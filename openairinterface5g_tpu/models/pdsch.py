@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 from .pusch import (PuschConfig, pusch_channel_estimate,
                     pusch_decode_codeword, pusch_equalize, pusch_llrs,
                     pusch_rx, pusch_tx, pusch_tx_grid)
@@ -41,6 +43,24 @@ def pdsch_rx(cfg: PdschConfig, rx_samples, rv: int = 0, n_iters: int = 20,
     """UE-side PDSCH RX: channel est + MRC/MMSE + LLR + LDPC decode."""
     return pusch_rx(cfg, rx_samples, rv=rv, n_iters=n_iters,
                     harq_buffers=harq_buffers)
+
+
+def pdsch_tx_precoded(cfg: PdschConfig, tb_bits, W, rv: int = 0):
+    """PMI-precoded PDSCH TX: (batch, TBS) -> (batch, n_ant, samples).
+
+    W: (n_ant, n_layers) codebook precoder (e.g. models.csirs
+    PMI_CODEBOOK_2TX[pmi] for 2TX 1-layer).  DMRS is precoded with the
+    data, so the UE estimates the effective channel H @ W and its
+    standard receiver applies unchanged (nr_layer_precoder:662 +
+    nr_feptx_prec analog)."""
+    import jax.numpy as jnp
+    from ..phy.ofdm import map_to_grid, ofdm_modulate
+
+    grid_re, scr = pusch_tx_grid(cfg, tb_bits, rv)      # (B, L, S, n_sc)
+    Wj = jnp.asarray(np.atleast_2d(np.asarray(W)), jnp.complex64)
+    gw = jnp.einsum("al,blsk->bask", Wj, grid_re)       # (B, n_ant, S, n_sc)
+    fp = cfg.fp
+    return ofdm_modulate(fp, map_to_grid(fp, gw), cfg.slot), scr
 
 
 # --------------------------------------------------------------------------

@@ -81,6 +81,13 @@ class PuschConfig:
     tbs_lbrm: int | None = None      # LBRM reference TBS (38.212 5.4.2.1):
                                      # limits the circular buffer to
                                      # Ncb = min(N, floor(TBS_LBRM/(C*2/3)))
+    rm_res: tuple = ()               # rate-match pattern: ((symbol, sc),
+                                     # ...) REs excluded from data, sc
+                                     # relative to the allocation start —
+                                     # e.g. CSI-RS REs overlapping a PDSCH
+                                     # (38.214 §5.1.4.2 rateMatchPattern /
+                                     # the pdsch PDU patterns in
+                                     # nfapi_nr_interface_scf.h)
 
     @property
     def bwp_prbs(self) -> int:
@@ -131,9 +138,9 @@ class PuschConfig:
 
     @property
     def uses_re_map(self) -> bool:
-        """True when data REs are a non-rectangular gather (PTRS holes or
-        data on the free comb of DMRS symbols)."""
-        return self.ptrs or self.cdm_groups_no_data == 1
+        """True when data REs are a non-rectangular gather (PTRS holes,
+        data on the free comb of DMRS symbols, or a rate-match pattern)."""
+        return self.ptrs or self.cdm_groups_no_data == 1 or bool(self.rm_res)
 
     def data_re_map(self):
         """(symbol_ids, sc_ids) of data REs in mapping order (increasing
@@ -144,16 +151,21 @@ class PuschConfig:
         M = 12 * self.n_prb
         ptrs_sc = set(self.ptrs_rel_sc().tolist()) if self.ptrs else set()
         flag_by_sym = dict(zip(self.data_symbols, self.ptrs_symbol_flags))
+        rm = set((int(s), int(m)) for s, m in self.rm_res)
         sym_ids, sc_ids = [], []
         for s in range(self.start_symbol, self.start_symbol + self.n_symbols):
             if s in self.dmrs_symbols:
                 if self.cdm_groups_no_data == 1:
                     for m in range(1, M, 2):
+                        if (s, m) in rm:
+                            continue
                         sym_ids.append(s)
                         sc_ids.append(m)
                 continue
             for m in range(M):
                 if flag_by_sym.get(s) and m in ptrs_sc:
+                    continue
+                if (s, m) in rm:
                     continue
                 sym_ids.append(s)
                 sc_ids.append(m)
@@ -162,7 +174,9 @@ class PuschConfig:
     @property
     def n_data_re(self) -> int:
         """Data REs total (incl. DMRS-symbol free-comb REs when only one
-        CDM group is reserved)."""
+        CDM group is reserved, excl. rate-match-pattern REs)."""
+        if self.rm_res:
+            return len(self.data_re_map()[0])
         n = len(self.data_symbols) * 12 * self.n_prb
         if self.ptrs:
             n -= sum(self.ptrs_symbol_flags) * len(self.ptrs_rel_sc())

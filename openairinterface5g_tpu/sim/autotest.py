@@ -65,6 +65,9 @@ CASES = [
     ("ulsim-mimo2x2", "ulsim", ["-m", "9", "-R", "106", "-W", "2", "-y", "2", "-s", "11", "-n", "64", "-t", "99"], "PUSCH test OK", False),
     ("dlsim-mcs9-106", "dlsim", ["-m", "9", "-R", "106", "-s", "5", "-n", "100", "-t", "99"], "PDSCH test OK", True),
     ("dlsim-mcs27-256qam", "dlsim", ["-m", "26", "-q", "2", "-R", "106", "-s", "27", "-n", "32", "-t", "99"], "PDSCH test OK", False),
+    # CSI-RS scheduled INSIDE the PDSCH allocation, data rate-matched
+    # around it (gNB_scheduler_dlsch.c:62 sched_csirs analog; r5)
+    ("dlsim-csirs-ratematch", "dlsim", ["-m", "9", "-R", "106", "-s", "5", "-n", "64", "--csirs", "-t", "99"], "PDSCH test OK", False),
     # nr_pucchsim matrix (test_case_list.xml:279-323): F0 1/2-bit at -2 dB,
     # F2 3..11 bits on 1 PRB at the ref ramp, F2 12..64 bits at -3 dB
     ("pucchsim-f0-1bit", "pucchsim", ["-f", "0", "-b", "1", "-s", "-2", "-n", "256"], "PUCCH test OK", True),

@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("-I", "--n-iters", type=int, default=20)
     ap.add_argument("-t", "--eff-tp-check", type=float, default=70.0)
     ap.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--csirs", action="store_true",
+                    help="schedule a CSI-RS inside the PDSCH allocation "
+                         "and rate-match the PDSCH around it "
+                         "(gNB_scheduler_dlsch.c:62 sched_csirs analog)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
@@ -47,11 +51,18 @@ def main(argv=None):
 
     from ..models.pdsch import PdschConfig
 
+    rm_kw = {}
+    csirs_cfg = None
+    if args.csirs:
+        from ..models.csirs import CsirsConfig, csirs_rm_pattern
+        csirs_cfg = CsirsConfig(n_prb=args.n_prb, symbol=6, re_offset=0)
+        probe = PdschConfig(mu=args.mu, n_prb=args.n_prb, mcs=args.mcs)
+        rm_kw = dict(rm_res=csirs_rm_pattern(csirs_cfg, 0, probe))
     cfg = PdschConfig(mu=args.mu, n_prb=args.n_prb, mcs=args.mcs,
                       mcs_table=args.mcs_table, n_layers=args.n_layers,
                       n_rx=args.n_rx, decoder_backend=args.backend,
                       dmrs_symbols=(2, 11) if args.dmrs_add_pos else (2,),
-                      chest_window=args.chest_window)
+                      chest_window=args.chest_window, **rm_kw)
     p, _ = cfg.seg_params()
     print(f"PDSCH sim: {args.n_prb} PRB mu={args.mu} MCS {args.mcs} "
           f"(Qm={cfg.qm_rate[0]} R={cfg.qm_rate[1]:.3f}) {args.n_layers}x{args.n_rx} "
@@ -63,7 +74,8 @@ def main(argv=None):
     results, ok = run_sweep(cfg, snrs, args.n_trials, batch,
                             max_rounds=args.max_rounds, n_iters=args.n_iters,
                             channel=args.channel, eff_tp_check=args.eff_tp_check,
-                            delay_spread_ns=args.delay_spread)
+                            delay_spread_ns=args.delay_spread,
+                            csirs_cfg=csirs_cfg)
     if args.json:
         print(json.dumps(results))
     print("PDSCH test OK" if ok else "PDSCH test NOK")

@@ -23,7 +23,8 @@ HARQ_RV_SEQ = (0, 2, 3, 1)  # nr_rv_round_map (gNB_scheduler.c:56)
 
 def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str,
                delay_spread_ns: float = 30.0, time_shift: int = 0,
-               doppler_hz: float = 0.0, cfo_hz: float = 0.0):
+               doppler_hz: float = 0.0, cfo_hz: float = 0.0,
+               csirs_cfg=None):
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +48,18 @@ def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str,
         harq = None
         for r, rv in enumerate(HARQ_RV_SEQ[:max_rounds]):
             key, k1, k2, k3 = jax.random.split(key, 4)
-            tx, _ = pusch_tx(cfg, tb, rv=rv)
+            if csirs_cfg is not None:
+                # CSI-RS transmitted INSIDE the PDSCH allocation; the
+                # data is rate-matched around it via cfg.rm_res
+                from ..models.pusch import pusch_tx_grid
+                from ..models.csirs import csirs_tx_grid
+                from ..phy.ofdm import map_to_grid, ofdm_modulate
+                g, _ = pusch_tx_grid(cfg, tb, rv=rv)
+                row = csirs_tx_grid(csirs_cfg, tb.shape[0], cfg.fp.n_sc)
+                g = g.at[:, 0, csirs_cfg.symbol].add(row)
+                tx = ofdm_modulate(cfg.fp, map_to_grid(cfg.fp, g), cfg.slot)
+            else:
+                tx, _ = pusch_tx(cfg, tb, rv=rv)
             # per-TX-antenna signal power: the reference's ulsim noise is
             # relative to ONE antenna's amplitude (ulsim.c:1190 AMP scale),
             # so multi-layer SNR must not count the other layers' power
@@ -75,13 +87,14 @@ def build_step(cfg, max_rounds: int, n_iters: int, channel_name: str,
 def run_sweep(cfg, snrs, n_trials: int, batch: int, max_rounds: int = 1,
               n_iters: int = 20, channel: str = "AWGN", eff_tp_check: float = 70.0,
               seed: int = 42, verbose: bool = True, delay_spread_ns: float = 30.0,
-              time_shift: int = 0, doppler_hz: float = 0.0, cfo_hz: float = 0.0):
+              time_shift: int = 0, doppler_hz: float = 0.0, cfo_hz: float = 0.0,
+              csirs_cfg=None):
     import jax
     import jax.numpy as jnp
 
     step = build_step(cfg, max_rounds, n_iters, channel, delay_spread_ns,
                       time_shift=time_shift, doppler_hz=doppler_hz,
-                      cfo_hz=cfo_hz)
+                      cfo_hz=cfo_hz, csirs_cfg=csirs_cfg)
     rng = np.random.default_rng(seed)
     results = []
     passed = False
