@@ -81,6 +81,10 @@ class PuschConfig:
     tbs_lbrm: int | None = None      # LBRM reference TBS (38.212 5.4.2.1):
                                      # limits the circular buffer to
                                      # Ncb = min(N, floor(TBS_LBRM/(C*2/3)))
+    receiver: str = "linear"         # 'linear' (MRC/MMSE/ZF) | 'ml':
+                                     # 2-layer joint max-log ML detection
+                                     # (rho-aware, phy/ml_detector.py —
+                                     # nr_ulsch_qpsk_qpsk analog)
     rm_res: tuple = ()               # rate-match pattern: ((symbol, sc),
                                      # ...) REs excluded from data, sc
                                      # relative to the allocation start —
@@ -583,6 +587,25 @@ def pusch_frontend(cfg: PuschConfig, re_grid: jnp.ndarray) -> jnp.ndarray:
         assert cfg.frontend_backend == "auto", (
             "frontend_backend='pallas' requires a fast-path config")
     h_est, nvar = pusch_channel_estimate(cfg, re_grid)
+    if cfg.receiver == "ml":
+        # 2-layer joint max-log ML detection over all symbol pairs
+        # (nr_ulsch_qpsk_qpsk rho path, nr_ulsch_llr_computation.c:375)
+        assert cfg.n_layers == 2 and not cfg.uses_re_map \
+            and not cfg.transform_precoding, "ml receiver: 2-layer PUSCH"
+        from ..phy.ml_detector import ml_llrs_2layer
+        qm, _ = cfg.qm_rate
+        B = re_grid.shape[0]
+        m_per_sym = 12 * cfg.n_prb
+        a0 = cfg.sc0
+        y = re_grid[:, :, jnp.asarray(list(cfg.data_symbols)),
+                    a0: a0 + m_per_sym]
+        llr = ml_llrs_2layer(h_est, y, qm, nvar)    # (B, 2, S, M, qm)
+        llr_cw = llr.transpose(0, 2, 3, 1, 4).reshape(B, -1)
+        cinit = pusch_cinit(cfg.rnti, cfg.scrambling_q, cfg.n_id)
+        llr_cw = scramble_llrs(llr_cw, cinit)
+        if cfg.llr_quant_bits:
+            llr_cw = llr_mod.quantize(llr_cw, bits=cfg.llr_quant_bits)
+        return llr_cw
     x, mag = pusch_equalize(cfg, re_grid, h_est, nvar)
     return pusch_llrs(cfg, re_grid, x, mag, h_est)
 

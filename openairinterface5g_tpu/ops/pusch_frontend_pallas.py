@@ -332,7 +332,8 @@ def supported(cfg) -> bool:
     from ..phy import refsig
     if (cfg.transform_precoding or cfg.uses_re_map or cfg.dmrs_max_len != 1
             or cfg.chest_mode != "window" or cfg.n_layers > 2
-            or cfg.qm_rate[0] not in (2, 4, 6, 8)):
+            or cfg.qm_rate[0] not in (2, 4, 6, 8)
+            or getattr(cfg, "receiver", "linear") != "linear"):
         return False
     deltas = {refsig.dmrs_type1_port_weights(p % 4)[1]
               for p in range(cfg.dmrs_port0, cfg.dmrs_port0 + cfg.n_layers)}

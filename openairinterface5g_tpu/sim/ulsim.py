@@ -177,6 +177,10 @@ def main(argv=None):
     ap.add_argument("-I", "--n-iters", type=int, default=20)
     ap.add_argument("-t", "--eff-tp-check", type=float, default=70.0)
     ap.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--receiver", type=str, default="linear",
+                    choices=["linear", "ml"],
+                    help="2-layer receiver: linear MMSE or joint max-log "
+                         "ML (nr_ulsch_qpsk_qpsk analog)")
     ap.add_argument("--json", action="store_true", help="emit JSON results")
     args = ap.parse_args(argv)
 
@@ -209,7 +213,8 @@ def main(argv=None):
                       n_rx=args.n_rx, decoder_backend=args.backend,
                       start_symbol=args.start_symbol, n_symbols=args.n_symbols,
                       dmrs_symbols=dmrs_syms, cdm_groups_no_data=cdm,
-                      chest_window=args.chest_window, **ptrs_kw)
+                      chest_window=args.chest_window,
+                      receiver=args.receiver, **ptrs_kw)
     p, _ = cfg.seg_params()
     print(f"PUSCH sim: {args.n_prb} PRB mu={args.mu} MCS {args.mcs} "
           f"(Qm={cfg.qm_rate[0]} R={cfg.qm_rate[1]:.3f}) {args.n_layers}x{args.n_rx} "
