@@ -48,6 +48,9 @@ class HarqProcess:
 class UeMacState:
     rnti: int
     cqi: int = 9
+    ul_cqi: int | None = None     # SRS-derived UL CQI (on_srs); falls
+                                  # back to the DL CQI when never sounded
+    ul_pmi: int = 0               # SRS-derived UL codebook index
     dl_buffer: int = 0            # bytes queued for DL
     ul_buffer: int = 0            # bytes reported via BSR
     avg_thr_dl: float = 1.0       # PF average throughput (bytes/slot, EWMA)
@@ -154,6 +157,17 @@ class MacScheduler:
         if rnti in self.ues:
             self.ues[rnti].cqi = cqi
 
+    def on_srs(self, rnti: int, report: dict):
+        """SRS indication consumer (handle_nr_srs analog): the sounded
+        UL channel drives the UL MCS independently of the DL CQI, and a
+        2-port report carries the UL codebook PMI."""
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        ue.ul_cqi = int(report["ul_cqi"])
+        if "pmi" in report:
+            ue.ul_pmi = int(report["pmi"])
+
     def on_rach(self, ind: fapi.RachIndication):
         for idx, ta, _pw in ind.preambles:
             self.ra_queue.append((idx, ta))
@@ -172,7 +186,8 @@ class MacScheduler:
         cfg = self.cfg
         scored = []
         for ue in cands:
-            mcs = cqi_to_mcs(ue.cqi, ue.mcs_offset)
+            cqi = ue.cqi if (dl or ue.ul_cqi is None) else ue.ul_cqi
+            mcs = cqi_to_mcs(cqi, ue.mcs_offset)
             rate = tbs_bytes(mcs, cfg.n_bwp_prb,
                              cfg.n_dl_symbols if dl else cfg.n_ul_symbols)
             avg = ue.avg_thr_dl if dl else ue.avg_thr_ul

@@ -306,3 +306,35 @@ def test_mac_sib1_paging_and_tdd_gating():
     ue.dl_buffer = 500
     dl6, ul6, _ = mac.schedule_slot(sfn=0, slot=3)
     assert dl6.pdsch and not ul6.pusch
+
+
+def test_srs_drives_ul_link_adaptation():
+    """srs_report -> MacScheduler.on_srs: the sounded UL channel sets the
+    UL MCS independently of the DL CQI (srs_rx.c -> scheduler feed)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from openairinterface5g_tpu.models.srs import SrsConfig, srs_tx, srs_report
+    from openairinterface5g_tpu.l2.mac import MacScheduler, SchedulerConfig
+
+    cfg = SrsConfig(n_prb=24, n_ports=2)
+    tx = srs_tx(cfg, 1)
+    rng = np.random.default_rng(0)
+    H = jnp.asarray((rng.normal(size=(1, 2, 2))
+                     + 1j * rng.normal(size=(1, 2, 2))).astype(np.complex64))
+    noise = 0.01 * jnp.asarray((rng.normal(size=(1, 2, 288))
+                                + 1j * rng.normal(size=(1, 2, 288))
+                                ).astype(np.complex64))
+    rx = jnp.einsum("brp,bpm->brm", H, tx) + noise
+    rep = srs_report(cfg, rx)
+    assert float(np.asarray(rep["wideband_snr_db"])[0]) > 10.0
+    assert rep["subband_snr_db"].shape == (1, 4)
+    mac = MacScheduler(SchedulerConfig())
+    ue = mac.add_ue(0x77, cqi=3)          # pessimistic DL CQI
+    mac.on_srs(0x77, {"ul_cqi": int(np.asarray(rep["ul_cqi"])[0]),
+                      "pmi": int(np.asarray(rep["pmi"])[0])})
+    ue.ul_buffer = 1 << 16
+    _, ul, _ = mac.schedule_slot(0, 0)
+    from openairinterface5g_tpu.l2.mac import cqi_to_mcs
+    # UL MCS follows the SRS-derived CQI, not the DL CQI 3
+    assert ul.pusch[0].mcs == cqi_to_mcs(ue.ul_cqi, ue.mcs_offset)
+    assert ul.pusch[0].mcs > cqi_to_mcs(3, ue.mcs_offset)
