@@ -231,12 +231,14 @@ def pdcch_tx_symbol0(n_rb: int, cell_id: int, subframe: int,
 
 def pdcch_blind_decode(y0: jnp.ndarray, h: jnp.ndarray, n_rb: int,
                        cell_id: int, subframe: int, rnti: int, A: int,
-                       aggregations=(1, 2, 4, 8), n_cand: int = 6):
+                       aggregations=(1, 2, 4, 8), n_cand: int = 6,
+                       cce0_list=None):
     """Symbol-0 REs (B, R, n_sc) + channel (B, R, n_sc) -> best DCI.
 
     Evaluates the UE-specific search-space candidates per aggregation
     level (dci_decoding_procedure analog); returns (payload (B, A),
-    found (B,), level (B,))."""
+    found (B,), level (B,)).  cce0_list restricts the starting CCEs
+    (e.g. to separate two same-RNTI DCIs in one subframe)."""
     B = y0.shape[0]
     avail = _pdcch_avail_regs(n_rb, cell_id, 1)
     n_cce = len(avail) // N_REG_PER_CCE
@@ -255,6 +257,8 @@ def pdcch_blind_decode(y0: jnp.ndarray, h: jnp.ndarray, n_rb: int,
                 pdcch_cinit(subframe, cell_id), E).astype(np.float32)
         for cand in range(min(n_cand, max(n_cce // al, 1))):
             cce0 = cand * al
+            if cce0_list is not None and cce0 not in cce0_list:
+                continue
             idx = jnp.asarray(_cce_sc_list(n_rb, cell_id, cce0, al))
             x = x_full[:, idx]
             mag = mag_full[:, idx]

@@ -207,8 +207,12 @@ def dlsch_decode(cfg: LtePdschConfig, llr_cw: jnp.ndarray, rv: int = 0,
 # ---------------------------------------------------------------------------
 
 
-def pdsch_tx(cfg: LtePdschConfig, tb_bits: jnp.ndarray, rv: int = 0):
-    """(B, TBS) -> ((B, 1, samples) subframe waveform, scrambled bits)."""
+def pdsch_tx(cfg: LtePdschConfig, tb_bits: jnp.ndarray, rv: int = 0,
+             pdcch_row=None):
+    """(B, TBS) -> ((B, 1, samples) subframe waveform, scrambled bits).
+
+    pdcch_row: optional (B, n_sc) control-region REs added onto symbol 0
+    (pdcch_tx_symbol0 output) so one subframe carries PDCCH + PDSCH."""
     cw = dlsch_encode(cfg, tb_bits, rv)
     c = jnp.asarray(gold_sequence_np(cfg.scrambling_cinit(), cfg.G).astype(np.int8))
     scrambled = jnp.bitwise_xor(cw.astype(jnp.int8), c)
@@ -225,6 +229,8 @@ def pdsch_tx(cfg: LtePdschConfig, tb_bits: jnp.ndarray, rv: int = 0):
         pil = jnp.asarray(refsig.crs_sequence_np(ns, l, cfg.cell_id, cfg.n_rb))
         sc = refsig.crs_sc_indices(cfg.n_rb, 0, l, cfg.cell_id)
         grid_re = grid_re.at[:, 0, s, jnp.asarray(sc)].set(pil)
+    if pdcch_row is not None:
+        grid_re = grid_re.at[:, 0, 0, :].add(pdcch_row)
     grid = map_to_grid(fp, grid_re)
     return ofdm_modulate(fp, grid), scrambled
 

@@ -134,3 +134,152 @@ def pucch1_rx(cfg: LtePucch1Config, re_grid: jnp.ndarray, n_bits: int = 1):
                          axis=-1).astype(jnp.int8)
     detected = jnp.abs(d_hat) > 0.25
     return {"d_hat": d_hat, "bits": bits, "detected": detected}
+
+
+# --------------------------------------------------------------------------
+# Format 2 (TS 36.211 §5.4.2): 20 coded UCI bits (CQI/PMI) on one PRB pair
+# --------------------------------------------------------------------------
+
+# TS 36.212 Table 5.2.3.3-1: basis sequences M_{i,n} of the (20, A) code
+_RM20_BASIS = np.array([
+    [1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 0],
+    [1, 1, 1, 0, 0, 0, 0, 0, 0, 1, 1, 1, 0],
+    [1, 0, 0, 1, 0, 0, 1, 0, 1, 1, 1, 1, 1],
+    [1, 0, 1, 1, 0, 0, 0, 0, 1, 0, 1, 1, 1],
+    [1, 1, 1, 1, 0, 0, 0, 1, 0, 0, 1, 1, 1],
+    [1, 1, 0, 0, 1, 0, 1, 1, 1, 0, 1, 1, 1],
+    [1, 0, 1, 0, 1, 0, 1, 0, 1, 1, 1, 1, 1],
+    [1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 1, 1, 1],
+    [1, 1, 0, 1, 1, 0, 0, 1, 0, 1, 1, 1, 1],
+    [1, 0, 1, 1, 1, 0, 1, 0, 0, 1, 1, 1, 1],
+    [1, 0, 1, 0, 0, 1, 1, 1, 0, 1, 1, 1, 1],
+    [1, 1, 1, 0, 0, 1, 1, 0, 1, 0, 1, 1, 1],
+    [1, 0, 0, 1, 0, 1, 0, 1, 1, 1, 1, 1, 1],
+    [1, 1, 0, 1, 0, 1, 0, 1, 0, 1, 1, 1, 1],
+    [1, 0, 0, 0, 1, 1, 0, 1, 0, 0, 1, 0, 1],
+    [1, 1, 0, 0, 1, 1, 1, 1, 0, 1, 1, 0, 1],
+    [1, 1, 1, 0, 1, 1, 1, 0, 0, 1, 0, 1, 1],
+    [1, 0, 0, 1, 1, 1, 0, 0, 1, 0, 0, 1, 1],
+    [1, 1, 0, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    [1, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0],
+], np.int8)
+
+_F2_DATA_SYMS = (0, 2, 3, 4, 6)     # normal CP; DMRS on l = 1, 5
+_F2_DMRS_SYMS = (1, 5)
+
+
+def rm20_encode(bits: jnp.ndarray) -> jnp.ndarray:
+    """(B, A<=13) UCI bits -> (B, 20) codeword (36.212 §5.2.3.3)."""
+    A = bits.shape[-1]
+    M = jnp.asarray(_RM20_BASIS[:, :A], jnp.float32)
+    acc = bits.astype(jnp.float32) @ M.T
+    return (acc.astype(jnp.int32) & 1).astype(jnp.int8)
+
+
+def rm20_decode(llrs: jnp.ndarray, A: int) -> jnp.ndarray:
+    """(B, 20) LLRs (>0 = bit 0) -> (B, A) ML-decoded UCI bits.
+
+    Exhaustive correlation over all 2^A codewords as one matmul (the
+    MXU-friendly form of the reference's UCI RM decoders)."""
+    idx = np.arange(1 << A)
+    a = ((idx[:, None] >> np.arange(A)[None, :]) & 1).astype(np.int8)
+    cw = (a @ _RM20_BASIS[:, :A].T) & 1                 # (2^A, 20)
+    sgn = jnp.asarray(1.0 - 2.0 * cw.astype(np.float32))
+    score = llrs.astype(jnp.float32) @ sgn.T            # (B, 2^A)
+    best = jnp.argmax(score, axis=-1)
+    return jnp.asarray(a)[best].astype(jnp.int8)
+
+
+@dataclasses.dataclass(frozen=True)
+class LtePucch2Config:
+    """PUCCH format 2 (36.211 §5.4.2): QPSK-modulated (20, A) RM-coded
+    CQI on one PRB pair; data on symbols {0,2,3,4,6}/slot with
+    cyclically shifted base sequences, DMRS on {1,5}."""
+    n_rb: int = 25
+    cell_id: int = 0
+    prb: int = 0
+    cs0: int = 0                  # n_PUCCH(2)-derived base shift (0..11)
+    rnti: int = 0x1234
+    n_bits: int = 4               # A (CQI payload size)
+    n_rx: int = 1
+
+    @property
+    def mirror_prb(self) -> int:
+        return self.n_rb - 1 - self.prb
+
+
+def _f2_cinit(cfg: LtePucch2Config, ns: int) -> int:
+    # 36.211 §5.4.2 scrambling: ((ns/2+1)(2 N_ID+1) << 16) + rnti
+    return (((ns // 2 + 1) * (2 * cfg.cell_id + 1) << 16) + cfg.rnti) % (1 << 31)
+
+
+def pucch2_tx(cfg: LtePucch2Config, uci_bits: jnp.ndarray) -> jnp.ndarray:
+    """(B, A) CQI bits -> (B, 14, n_sc) subframe grid (both slots)."""
+    B = uci_bits.shape[0]
+    b = rm20_encode(uci_bits)                           # (B, 20)
+    scr = jnp.asarray(gold_sequence_np(_f2_cinit(cfg, 0), 20))
+    b = b ^ scr
+    d = ((1.0 - 2.0 * b[:, 0::2]) + 1j * (1.0 - 2.0 * b[:, 1::2])
+         ).astype(jnp.complex64) / np.sqrt(2)           # (B, 10)
+    r = _base(LtePucch1Config(n_rb=cfg.n_rb, cell_id=cfg.cell_id))
+    k = np.arange(12)
+    n_sc = 12 * cfg.n_rb
+    grid = jnp.zeros((B, 14, n_sc), jnp.complex64)
+    di = 0
+    for ns in range(2):
+        ncs = _ncs_cell(cfg.cell_id)[ns % 20]
+        prb = cfg.prb if ns == 0 else cfg.mirror_prb
+        sc0 = 12 * prb
+        for l in range(7):
+            alpha = 2 * np.pi * ((cfg.cs0 + int(ncs[l])) % 12) / 12
+            seq = jnp.asarray(r * np.exp(1j * alpha * k))
+            if l in _F2_DMRS_SYMS:
+                col = jnp.broadcast_to(seq, (B, 12))
+            else:
+                col = d[:, di][:, None] * seq
+                di += 1
+            grid = grid.at[:, 7 * ns + l, sc0: sc0 + 12].set(col)
+    assert di == 10
+    return grid
+
+
+def pucch2_rx(cfg: LtePucch2Config, re_grid: jnp.ndarray):
+    """(B, R, 14, n_sc) -> dict(uci (B, A), llrs, detected).
+
+    Per-slot channel from the 2 DMRS symbols, coherent demod of the 10
+    data symbols, descramble, (20, A) ML decode."""
+    r = _base(LtePucch1Config(n_rb=cfg.n_rb, cell_id=cfg.cell_id))
+    k = np.arange(12)
+    llr_list = []
+    coh = 0.0          # |mean_k h|^2: coherent only when the PUCCH is there
+    raw = 0.0          # raw tile power (noise floor reference)
+    for ns in range(2):
+        ncs = _ncs_cell(cfg.cell_id)[ns % 20]
+        prb = cfg.prb if ns == 0 else cfg.mirror_prb
+        sc0 = 12 * prb
+        tile = re_grid[:, :, 7 * ns: 7 * ns + 7, sc0: sc0 + 12]
+        h = 0.0
+        for l in _F2_DMRS_SYMS:
+            alpha = 2 * np.pi * ((cfg.cs0 + int(ncs[l])) % 12) / 12
+            seq = jnp.asarray(r * np.exp(1j * alpha * k))
+            h = h + tile[:, :, l, :] * jnp.conj(seq)
+        h = h / 2                                       # (B, R, 12)
+        coh = coh + jnp.sum(jnp.abs(jnp.mean(h, axis=-1)) ** 2, axis=-1)
+        raw = raw + jnp.mean(jnp.abs(tile) ** 2, axis=(-3, -2, -1))
+        for l in _F2_DATA_SYMS:
+            alpha = 2 * np.pi * ((cfg.cs0 + int(ncs[l])) % 12) / 12
+            seq = jnp.asarray(r * np.exp(1j * alpha * k))
+            z = jnp.sum(tile[:, :, l, :] * jnp.conj(seq) * jnp.conj(h),
+                        axis=(-2, -1))                  # (B,)
+            llr_list.append(z)
+    zs = jnp.stack(llr_list, axis=-1)                   # (B, 10)
+    llr = jnp.stack([jnp.real(zs), jnp.imag(zs)], axis=-1).reshape(
+        zs.shape[0], 20)
+    scr = jnp.asarray(gold_sequence_np(_f2_cinit(cfg, 0), 20))
+    llr = llr * (1.0 - 2.0 * scr.astype(jnp.float32))
+    uci = rm20_decode(llr, cfg.n_bits)
+    # DTX: with a real PUCCH the per-SC DMRS estimates add coherently
+    # (|mean_k h|^2 ~ |h|^2 ~ raw power); on noise they average down by
+    # 12, so the coherence-to-power ratio separates by ~10 dB
+    detected = coh > 0.25 * jnp.maximum(raw, 1e-12)
+    return {"uci": uci, "llrs": llr, "detected": detected}
