@@ -122,10 +122,15 @@ def _gpp(mu, prb, n_rx, snr, iters=7, mcs=20, layers=1, chan="TDLA", ds="10"):
     B=32 verified clean on the 106-PRB point; wider/multi-antenna points
     stay at 16 for VMEM headroom."""
     batch = "16" if (n_rx >= 4 or prb >= 217) else "32"
+    # --backend pallas: the conformance matrix exercises the PRODUCTION
+    # decode path (layered min-sum Pallas kernel); at equal iteration
+    # count the layered schedule converges at least as fast as the
+    # reference's flooding schedule, so the reference SNR gates are the
+    # same or harder
     argv = ["-m", str(mcs), "-R", str(prb), "-u", str(mu), "-y", str(n_rx),
             "-g", chan, "--delay-spread", ds, "-M", "2", "-I", str(iters),
             "-s", str(snr), "-n", "128", "--batch", batch, "-t", "70", "-D", "1",
-            "--chest-window", "16"]
+            "--chest-window", "16", "--backend", "pallas"]
     if layers > 1:
         argv += ["-W", str(layers)]
     return argv
