@@ -51,6 +51,9 @@ class UeMacState:
     ul_cqi: int | None = None     # SRS-derived UL CQI (on_srs); falls
                                   # back to the DL CQI when never sounded
     ul_pmi: int = 0               # SRS-derived UL codebook index
+    bwps: tuple = ((0, None),)    # ((prb_start, n_prb|None=full), ...)
+                                  # 38.331 BWP-Downlink/-Uplink configs
+    active_bwp: int = 0           # bandwidth-part indicator (DCI field)
     dl_buffer: int = 0            # bytes queued for DL
     ul_buffer: int = 0            # bytes reported via BSR
     avg_thr_dl: float = 1.0       # PF average throughput (bytes/slot, EWMA)
@@ -176,6 +179,18 @@ class MacScheduler:
         if rnti in self.ues:
             self.ues[rnti].ul_buffer = n_bytes
 
+    def switch_bwp(self, rnti: int, bwp_id: int):
+        """Activate a configured BWP (the DCI bandwidth-part-indicator
+        switch, 38.213 §12): subsequent allocations land inside it and
+        the scheduler's grants carry the new indicator."""
+        ue = self.ues[rnti]
+        assert 0 <= bwp_id < len(ue.bwps), bwp_id
+        ue.active_bwp = bwp_id
+
+    def _bwp_window(self, ue: UeMacState) -> tuple:
+        p0, sz = ue.bwps[ue.active_bwp]
+        return p0, (self.cfg.n_bwp_prb - p0 if sz is None else sz)
+
     # ---- per-slot scheduling ----
 
     def _pf_allocate(self, cands: list[UeMacState], dl: bool):
@@ -193,22 +208,27 @@ class MacScheduler:
             avg = ue.avg_thr_dl if dl else ue.avg_thr_ul
             scored.append((rate / max(avg, 1e-6), ue, mcs))
         scored.sort(key=lambda t: -t[0])
-        # greedy: split PRBs proportionally to remaining buffer, metric order
+        # greedy: split PRBs proportionally to remaining buffer, metric
+        # order, each UE constrained to its ACTIVE BWP window
         out = []
         prb_next = 0
         for rank, (_, ue, mcs) in enumerate(scored):
-            if prb_next >= cfg.n_bwp_prb:
-                break
+            b0, bsz = self._bwp_window(ue)
+            start = max(prb_next, b0)
+            avail = b0 + bsz - start
+            if avail <= 0:
+                continue
             buf = ue.dl_buffer if dl else ue.ul_buffer
             per_prb = max(1, tbs_bytes(mcs, cfg.n_bwp_prb) // cfg.n_bwp_prb)
             want = max(cfg.min_prb, -(-buf // per_prb))
             # leave min_prb headroom for each remaining candidate so one
             # full-buffer UE can't starve the slot (pf_dl's remainUEs logic)
             reserve = cfg.min_prb * (len(scored) - rank - 1)
-            size = min(want, max(cfg.min_prb, cfg.n_bwp_prb - prb_next - reserve))
-            size = min(size, cfg.n_bwp_prb - prb_next)
-            out.append((ue, prb_next, size, mcs))
-            prb_next += size
+            size = min(want, max(cfg.min_prb, avail - reserve), avail)
+            if size <= 0:
+                continue
+            out.append((ue, start, size, mcs))
+            prb_next = start + size
         return out
 
     SI_RNTI = 0xFFFF

@@ -19,17 +19,18 @@ from .pdcch import blind_search
 from .pdsch import PdschConfig
 
 
-# compact DCI "format 1_0-lite" payload layout (bits, MSB first)
+# compact DCI "format 1_0-lite" payload layout (bits, MSB first);
+# bwp = bandwidth-part indicator (38.212 7.3.1.1.2 field analog)
 _FIELD_BITS = (("mcs", 5), ("prb_start", 9), ("n_prb", 9), ("rv", 2),
-               ("ndi", 1), ("harq_id", 4))
-DCI_A = sum(b for _, b in _FIELD_BITS) + 9  # + reserved/padding = 39
+               ("ndi", 1), ("harq_id", 4), ("bwp", 2))
+DCI_A = sum(b for _, b in _FIELD_BITS) + 7  # + reserved/padding = 39
 
 
 def encode_grant(mcs: int, prb_start: int, n_prb: int, rv: int = 0,
-                 ndi: int = 1, harq_id: int = 0) -> np.ndarray:
+                 ndi: int = 1, harq_id: int = 0, bwp: int = 0) -> np.ndarray:
     """Pack a scheduling grant into a (DCI_A,) bit array."""
     vals = {"mcs": mcs, "prb_start": prb_start, "n_prb": n_prb, "rv": rv,
-            "ndi": ndi, "harq_id": harq_id}
+            "ndi": ndi, "harq_id": harq_id, "bwp": bwp}
     bits = []
     for name, nb in _FIELD_BITS:
         v = vals[name]

@@ -338,3 +338,26 @@ def test_srs_drives_ul_link_adaptation():
     # UL MCS follows the SRS-derived CQI, not the DL CQI 3
     assert ul.pusch[0].mcs == cqi_to_mcs(ue.ul_cqi, ue.mcs_offset)
     assert ul.pusch[0].mcs > cqi_to_mcs(3, ue.mcs_offset)
+
+
+def test_bwp_switching():
+    """DCI-indicated bandwidth-part switch: allocations follow the
+    active BWP window (38.213 §12 switch semantics)."""
+    from openairinterface5g_tpu.l2.mac import MacScheduler, SchedulerConfig
+    mac = MacScheduler(SchedulerConfig(n_bwp_prb=106))
+    ue = mac.add_ue(0x31, cqi=9, bwps=((0, 48), (48, 58)))
+    ue.dl_buffer = 1 << 20
+    dl, _, _ = mac.schedule_slot(0, 0)
+    p = dl.pdsch[0]
+    assert p.rb_start >= 0 and p.rb_start + p.rb_size <= 48
+    # ack the TB so the process frees, then switch
+    mac.on_dl_ack(0x31, p.harq_process_id, True)
+    mac.switch_bwp(0x31, 1)
+    ue.dl_buffer = 1 << 20
+    dl2, _, _ = mac.schedule_slot(0, 1)
+    p2 = dl2.pdsch[0]
+    assert p2.rb_start >= 48 and p2.rb_start + p2.rb_size <= 106
+    # the grant codec carries the indicator
+    from openairinterface5g_tpu.models.ue import decode_grant, encode_grant
+    g = decode_grant(encode_grant(mcs=9, prb_start=48, n_prb=58, bwp=1))
+    assert g["bwp"] == 1 and g["prb_start"] == 48
