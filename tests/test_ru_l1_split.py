@@ -34,3 +34,29 @@ def test_ru_l1_split_bler():
     res["l1"] = ru_l1_split.run_l1(n_trials=32, log=lambda *a: None)
     t.join(timeout=600)
     assert res["l1"] is True, "BLER parity through the IF4p5 split failed"
+
+
+def test_if5_time_domain_roundtrip():
+    """IF5-analog lower split: a full slot waveform chunked into int16
+    BFP datagrams reassembles bit-faithfully enough to decode a PUSCH
+    slot end to end (the time-domain RU<->L1 boundary)."""
+    import jax
+    import jax.numpy as jnp
+    from openairinterface5g_tpu.fronthaul import if5
+    from openairinterface5g_tpu.models.pusch import (PuschConfig, pusch_rx,
+                                                     pusch_tx)
+
+    cfg = PuschConfig(mu=1, n_prb=24, mcs=9, n_layers=1, n_rx=1)
+    rng = np.random.default_rng(0)
+    tb = jnp.asarray(rng.integers(0, 2, (1, cfg.tbs)).astype(np.int8))
+    tx, _ = pusch_tx(cfg, tb)
+    rx = np.asarray(tx + 0.02 * jax.random.normal(
+        jax.random.PRNGKey(1), tx.shape).astype(np.complex64))[0]
+    pkts = if5.slot_to_packets(if5.UL_TD, 7, 3, rx)
+    rng.shuffle(pkts)                       # UDP reordering
+    typ, frame, slot, wav = if5.packets_to_slot(pkts, 1, rx.shape[-1])
+    assert (typ, frame, slot) == (if5.UL_TD, 7, 3)
+    err = np.abs(wav - rx).max() / np.abs(rx).max()
+    assert err < 2e-3, err
+    out = pusch_rx(cfg, jnp.asarray(wav[None]), n_iters=8)
+    assert bool(np.asarray(out["tb_ok"])[0])
