@@ -361,3 +361,47 @@ def test_bwp_switching():
     from openairinterface5g_tpu.models.ue import decode_grant, encode_grant
     g = decode_grant(encode_grant(mcs=9, prb_start=48, n_prb=58, bwp=1))
     assert g["bwp"] == 1 and g["prb_start"] == 48
+
+
+def test_ra_loss_and_backoff_paths():
+    """RA beyond the happy path (38.321 §5.1): RAR window expiry retries
+    up to max_attempts, a RAR for another preamble is ignored, and a
+    contention-resolution mismatch returns to IDLE for a new attempt."""
+    from openairinterface5g_tpu.l2.ue_mac import RaConfig, UeMac
+
+    # RAR never arrives: window expiry keeps retrying, then gives up
+    mac = UeMac(RaConfig(preamble_index=9, max_attempts=3,
+                         response_window_slots=5))
+    slot = 0
+    retries = 0
+    while True:
+        mac.start_ra(slot, b"REQ")
+        slot = mac.window_end + 1
+        if not mac.ra_timeout(slot):
+            break
+        retries += 1
+    assert mac.state == "IDLE" and mac.attempts == 3 and retries == 2
+
+    # RAR for a different preamble is ignored; ours is honored
+    mac = UeMac(RaConfig(preamble_index=9))
+    mac.start_ra(0, b"REQ")
+    assert mac.on_rar(1, {"preamble_index": 4, "tc_rnti": 0x11}) is None
+    assert mac.state == "RA_PREAMBLE"
+    m3 = mac.on_rar(2, {"preamble_index": 9, "tc_rnti": 0x22,
+                        "ul_grant": {}, "ta": 5})
+    assert m3 is not None and mac.state == "RA_MSG3"
+
+    # late RAR (after the window) is ignored
+    mac2 = UeMac(RaConfig(preamble_index=9, response_window_slots=3))
+    mac2.start_ra(0, b"REQ")
+    assert mac2.on_rar(10, {"preamble_index": 9, "tc_rnti": 0x33}) is None
+
+    # contention loss: another UE's msg3 echoed -> back to IDLE
+    assert mac.on_contention_resolution(0x22, b"OTHER-UE-MSG3") is False
+    assert mac.state == "IDLE" and mac.c_rnti is None
+    # a fresh attempt can then win
+    mac.start_ra(20, b"REQ")
+    mac.on_rar(21, {"preamble_index": 9, "tc_rnti": 0x44, "ul_grant": {},
+                    "ta": 0})
+    assert mac.on_contention_resolution(0x44, b"REQ") is True
+    assert mac.c_rnti == 0x44
