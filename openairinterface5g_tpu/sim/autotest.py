@@ -173,16 +173,25 @@ CONFORMANCE_CASES = [
     ("3gpp-28-A4-27-2layer-4rx", _gpp(1, 106, 4, 11.2, iters=15, mcs=16,
                                       layers=2, chan="TDLC", ds="30")),
     # nr_ulsim.mimo matrix (test_case_list.xml:409-425), AWGN
+    # mimo set: production pallas path + explicit batch caps — the XLA
+    # flooding decoder's (B*C, R*D, Z) message tensors reach ~1 GB at
+    # batch 64 / 640 CBs and fault the worker (r5 finding; the pallas
+    # kernel keeps messages in VMEM per sb-group and has no such cliff)
     ("mimo-1-mcs19-50prb-2rx", ["-m", "19", "-R", "50", "-y", "2", "-s", "15",
-                                "-n", "64", "-t", "99"]),
+                                "-n", "64", "-t", "99", "--batch", "32",
+                                "--backend", "pallas"]),
     ("mimo-2-mcs9-2layer", ["-m", "9", "-R", "106", "-W", "2", "-y", "2",
-                            "-s", "8", "-n", "64", "-t", "85"]),
+                            "-s", "8", "-n", "64", "-t", "85",
+                            "--batch", "16", "--backend", "pallas"]),
     ("mimo-3-mcs10-2layer", ["-m", "10", "-R", "106", "-W", "2", "-y", "2",
-                             "-s", "12", "-n", "64", "-t", "99"]),
+                             "-s", "12", "-n", "64", "-t", "99",
+                             "--batch", "16", "--backend", "pallas"]),
     ("mimo-4-mcs19-2layer", ["-m", "19", "-R", "106", "-W", "2", "-y", "2",
-                             "-s", "22", "-n", "64", "-t", "99"]),
+                             "-s", "22", "-n", "64", "-t", "99",
+                             "--batch", "16", "--backend", "pallas"]),
     ("mimo-5-mcs9-4layer", ["-m", "9", "-R", "106", "-W", "4", "-y", "4",
-                            "-s", "10", "-n", "64", "-t", "85"]),
+                            "-s", "10", "-n", "64", "-t", "85",
+                            "--batch", "8", "--backend", "pallas"]),
 ]
 
 
