@@ -54,6 +54,11 @@ class UeMacState:
     bwps: tuple = ((0, None),)    # ((prb_start, n_prb|None=full), ...)
                                   # 38.331 BWP-Downlink/-Uplink configs
     active_bwp: int = 0           # bandwidth-part indicator (DCI field)
+    # connected-mode DRX (38.321 §5.7); cycle=0 disables
+    drx_cycle: int = 0            # slots per DRX cycle
+    drx_on_duration: int = 0      # active slots at each cycle start
+    drx_inactivity: int = 0       # slots of activity extension after a grant
+    drx_inactive_until: int = -1  # slot until which the inactivity timer runs
     dl_buffer: int = 0            # bytes queued for DL
     ul_buffer: int = 0            # bytes reported via BSR
     avg_thr_dl: float = 1.0       # PF average throughput (bytes/slot, EWMA)
@@ -179,6 +184,15 @@ class MacScheduler:
         if rnti in self.ues:
             self.ues[rnti].ul_buffer = n_bytes
 
+    def drx_active(self, ue: UeMacState, slot_abs: int) -> bool:
+        """True when the UE is in DRX Active Time (onDurationTimer or
+        drx-InactivityTimer running, 38.321 §5.7)."""
+        if ue.drx_cycle <= 0:
+            return True
+        if slot_abs < ue.drx_inactive_until:
+            return True
+        return (slot_abs % ue.drx_cycle) < ue.drx_on_duration
+
     def switch_bwp(self, rnti: int, bwp_id: int):
         """Activate a configured BWP (the DCI bandwidth-part-indicator
         switch, 38.213 §12): subsequent allocations land inside it and
@@ -273,6 +287,7 @@ class MacScheduler:
         dl_ok = slot_type in (None, "D", "S")
         ul_ok = slot_type in (None, "U", "S")
 
+        slot_abs = sfn * (10 << cfg.mu) + slot
         dl_pdus, payloads = [], []
         if dl_ok:
             self._broadcast_pdus(sfn, slot, dl_pdus, payloads)
@@ -287,8 +302,10 @@ class MacScheduler:
                             harq_process_id=hid, new_data=0))
                         payloads.append(h.payload)
             cands = [u for u in self.ues.values()
-                     if u.dl_buffer > 0 and u.free_harq(u.dl_harq) is not None]
+                     if u.dl_buffer > 0 and u.free_harq(u.dl_harq) is not None
+                     and self.drx_active(u, slot_abs)]
             for ue, p0, sz, mcs in self._pf_allocate(cands, dl=True):
+                ue.drx_inactive_until = slot_abs + ue.drx_inactivity
                 hid = ue.free_harq(ue.dl_harq)
                 tbs = tbs_bytes(mcs, sz, cfg.n_dl_symbols)
                 pay = bytes(min(tbs, ue.dl_buffer))
@@ -314,8 +331,10 @@ class MacScheduler:
                             harq_process_id=hid, new_data=0,
                             nr_of_symbols=cfg.n_ul_symbols))
             cands = [u for u in self.ues.values()
-                     if u.ul_buffer > 0 and u.free_harq(u.ul_harq) is not None]
+                     if u.ul_buffer > 0 and u.free_harq(u.ul_harq) is not None
+                     and self.drx_active(u, slot_abs)]
             for ue, p0, sz, mcs in self._pf_allocate(cands, dl=False):
+                ue.drx_inactive_until = slot_abs + ue.drx_inactivity
                 hid = ue.free_harq(ue.ul_harq)
                 tbs = tbs_bytes(mcs, sz, cfg.n_ul_symbols)
                 h = ue.ul_harq[hid]

@@ -405,3 +405,28 @@ def test_ra_loss_and_backoff_paths():
                     "ta": 0})
     assert mac.on_contention_resolution(0x44, b"REQ") is True
     assert mac.c_rnti == 0x44
+
+
+def test_connected_mode_drx():
+    """38.321 §5.7 C-DRX: UEs outside Active Time are not scheduled;
+    a grant restarts the inactivity timer extending Active Time."""
+    from openairinterface5g_tpu.l2.mac import MacScheduler, SchedulerConfig
+    mac = MacScheduler(SchedulerConfig(n_bwp_prb=52))
+    ue = mac.add_ue(0x21, cqi=9, drx_cycle=16, drx_on_duration=2,
+                    drx_inactivity=3)
+
+    def sched(slot):
+        ue.dl_buffer = 1 << 16
+        for h in ue.dl_harq:            # keep processes free
+            h.active = False
+        dl, _, _ = mac.schedule_slot(0, slot)
+        return len(dl.pdsch) > 0
+
+    assert sched(0) and sched(1)        # onDuration slots 0..1
+    # slot 1's grant restarted inactivity: active until slot 1+3
+    assert sched(2) and sched(3)
+    # let the inactivity timer die: no grant at slot 3+... stop granting
+    ue.drx_inactive_until = -1
+    assert not sched(8)                 # mid-cycle, asleep
+    assert not sched(15)
+    assert sched(16)                    # next cycle's onDuration
