@@ -30,7 +30,7 @@ def _decode_xla(graph, llr, n_iters=12, **kw):
 def _decode_pallas(graph, llr, n_iters=8, **kw):
     dec = lambda it: ldpc_pallas.decode_pallas(
         graph, llr, n_iters=it,
-        schedule=kw.get("schedule", "layered"), sb=kw.get("sb", 8),
+        schedule=kw.get("schedule", "layered"), sb=kw.get("sb", 16),
         check_every=kw.get("check_every", 0))
     first = kw.get("first_iters", 0)
     if not first or first >= n_iters:
