@@ -322,6 +322,20 @@ class RlcAm:
         if poll:
             self.status_due = True
 
+    def tick_reassembly(self):
+        """t-Reassembly analog (38.322 §5.2.3.2): when a reception gap
+        persists unchanged across consecutive transmission opportunities
+        (the lost PDU carried the poll bit, so no poll-triggered STATUS
+        will come), trigger a STATUS report."""
+        key = (self.rx_next, tuple(sorted(self.rx_buf)),
+               tuple(sorted(self.rx_segs)))
+        if self.rx_buf or self.rx_segs:
+            if getattr(self, "_reassembly_stall", None) == key:
+                self.status_due = True
+            self._reassembly_stall = key
+        else:
+            self._reassembly_stall = None
+
     def _sn_lt(self, a: int, b: int) -> bool:
         return ((a - b) % self.mod) > self.mod // 2
 

@@ -90,9 +90,14 @@ def _snr_to_cqi(snr_db: float) -> int:
     return int(np.clip(round(snr_db / 1.9) + 5, 1, 15))
 
 
-def run_gnb(port: int, n_cycles: int = N_CYCLES_DEFAULT, log=print) -> dict:
+def run_gnb(port: int, n_cycles: int = N_CYCLES_DEFAULT, log=print,
+            l2_stack: bool = False) -> dict:
     """gNB endpoint.  Returns the session stats dict (nonzero DL+UL
-    throughput and at least one HARQ retransmission = success)."""
+    throughput and at least one HARQ retransmission = success).
+
+    l2_stack=True: TB payloads carry a real user plane — PDCP(NEA2) +
+    RLC AM PDUs in MAC subPDU framing (l2/userplane.DrbStack); packets
+    lost to exhausted HARQ rounds are recovered by RLC ARQ."""
     import jax.numpy as jnp
     from ..config import make_frame_params
     from ..fapi import messages as fapi
@@ -124,6 +129,12 @@ def run_gnb(port: int, n_cycles: int = N_CYCLES_DEFAULT, log=print) -> dict:
     ul_harq_bufs: dict[int, object] = {}
     last_dl_hid = None
     seq = 0
+    drb = None
+    if l2_stack:
+        from ..l2.pdcp import DIR_DL
+        from ..l2.userplane import DrbStack
+        drb = DrbStack(DIR_DL)
+        stats["ul_pkts"] = 0
 
     try:
         for cyc in range(n_cycles):
@@ -147,7 +158,14 @@ def run_gnb(port: int, n_cycles: int = N_CYCLES_DEFAULT, log=print) -> dict:
             if pd.new_data:
                 seq += 1
                 tb = np.zeros(cfgd.tbs, np.int8)
-                pay = _traffic(seq, cfgd.tbs // 8)
+                if drb is not None:
+                    # keep the PDCP/RLC pipe fed with seq-stamped packets
+                    while len(drb.rlc.queue) < 4:
+                        seq += 1
+                        drb.send_packet(_traffic(seq, 300))
+                    pay = drb.fill_tb(cfgd.tbs // 8)
+                else:
+                    pay = _traffic(seq, cfgd.tbs // 8)
                 bits = np.unpackbits(np.frombuffer(pay, np.uint8))[: cfgd.tbs]
                 tb[: len(bits)] = bits
                 dl_payloads[pd.harq_process_id] = (cfgd, tb, seq)
@@ -226,6 +244,11 @@ def run_gnb(port: int, n_cycles: int = N_CYCLES_DEFAULT, log=print) -> dict:
                 stats["ul_bits"] += cfgu.tbs
                 stats["ul_ok"] += 1
                 ul_harq_bufs.pop(pend["hid"], None)
+                if drb is not None:
+                    n0 = len(drb.delivered)
+                    drb.drain_tb(np.packbits(np.asarray(
+                        out["tb_bits"])[0].astype(np.uint8)).tobytes())
+                    stats["ul_pkts"] = len(drb.delivered)
             else:
                 ul_harq_bufs[pend["hid"]] = out["harq_buffers"]
             mac.on_crc(fapi.CrcIndication(
@@ -238,6 +261,11 @@ def run_gnb(port: int, n_cycles: int = N_CYCLES_DEFAULT, log=print) -> dict:
     finally:
         dev.close()
 
+    if drb is not None:
+        # integrity: every delivered UL packet carries its seq stamp
+        stats["ul_pkts_intact"] = sum(
+            1 for p in drb.delivered
+            if p == _traffic(int.from_bytes(p[:4], "big"), 300))
     dur_s = stats["slots"] * 0.5e-3
     stats["dl_mbps"] = stats["dl_bits"] / dur_s / 1e6
     stats["ul_mbps"] = stats["ul_bits"] / dur_s / 1e6
@@ -249,7 +277,8 @@ def run_gnb(port: int, n_cycles: int = N_CYCLES_DEFAULT, log=print) -> dict:
 
 
 def run_ue(port: int, host: str = "127.0.0.1",
-           n_cycles: int = N_CYCLES_DEFAULT, log=print) -> dict:
+           n_cycles: int = N_CYCLES_DEFAULT, log=print,
+           l2_stack: bool = False) -> dict:
     """UE endpoint: decode grants + data, ACK/CQI on PUCCH, PUSCH UL."""
     import jax.numpy as jnp
     from ..config import make_frame_params
@@ -273,6 +302,11 @@ def run_ue(port: int, host: str = "127.0.0.1",
     ul_tbs: dict[int, tuple] = {}        # harq_id -> (cfg, tb)
     stats = dict(dl_ok=0, dl_rx=0, ul_tx=0)
     cqi = 11
+    drb = None
+    if l2_stack:
+        from ..l2.pdcp import DIR_UL
+        from ..l2.userplane import DrbStack
+        drb = DrbStack(DIR_UL)
     try:
         for cyc in range(n_cycles):
             t = 4 * cyc
@@ -296,6 +330,10 @@ def run_ue(port: int, host: str = "127.0.0.1",
                     stats["dl_ok"] += 1
                     dl_bufs.pop(hid, None)
                     ack = 1
+                    if drb is not None:
+                        drb.drain_tb(np.packbits(np.asarray(
+                            out["tb_bits"])[0].astype(np.uint8)).tobytes())
+                        stats["dl_pkts"] = len(drb.delivered)
                 else:
                     dl_bufs[hid] = out["harq_buffers"]
                 # CQI from own DMRS channel estimate + noise floor
@@ -338,7 +376,14 @@ def run_ue(port: int, host: str = "127.0.0.1",
                 cfgu = _pusch_cfg(ugrant["mcs"], ugrant["prb_start"],
                                   ugrant["n_prb"])
                 if ugrant["ndi"] == 1 or hid not in ul_tbs:
-                    pay = _traffic(0x8000 + 16 * cyc + hid, cfgu.tbs // 8)
+                    if drb is not None:
+                        while len(drb.rlc.queue) < 4:
+                            stats["ul_seq"] = stats.get("ul_seq", 0) + 1
+                            drb.send_packet(_traffic(stats["ul_seq"], 300))
+                        pay = drb.fill_tb(cfgu.tbs // 8)
+                    else:
+                        pay = _traffic(0x8000 + 16 * cyc + hid,
+                                       cfgu.tbs // 8)
                     tbb = np.zeros(cfgu.tbs, np.int8)
                     bits = np.unpackbits(np.frombuffer(pay, np.uint8)
                                          )[: cfgu.tbs]
@@ -367,17 +412,19 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=47011)
     ap.add_argument("--host", type=str, default="127.0.0.1")
     ap.add_argument("--slots", type=int, default=4 * N_CYCLES_DEFAULT)
+    ap.add_argument("--l2", action="store_true",
+                    help="carry a PDCP(NEA2)+RLC-AM user plane in the TBs")
     args = ap.parse_args(argv)
     from ..utils.cache import enable_compile_cache
     enable_compile_cache()
     n_cycles = max(1, args.slots // 4)
     if args.role == "gnb":
-        st = run_gnb(args.port, n_cycles)
+        st = run_gnb(args.port, n_cycles, l2_stack=args.l2)
         good = (st["dl_mbps"] > 0 and st["ul_mbps"] > 0
                 and (st["dl_retx"] + st["ul_retx"]) > 0)
         print("CONNECTED data plane OK" if good else "CONNECTED NOK", st)
         return 0 if good else 1
-    st = run_ue(args.port, args.host, n_cycles)
+    st = run_ue(args.port, args.host, n_cycles, l2_stack=args.l2)
     print("UE session done", st)
     return 0
 

@@ -31,3 +31,26 @@ def test_connected_data_plane():
     # adapted MCS; soft-combining must recover at least one of them
     assert st["dl_retx"] + st["ul_retx"] >= 1, st
     assert st["dl_ack"] + st["ul_ok"] > st["dl_retx"] + st["ul_retx"] - 2
+
+
+def test_connected_user_plane_over_the_air():
+    """PDCP(NEA2) + RLC AM user plane inside the OTA transport blocks:
+    seq-stamped packets delivered bit-intact both directions, with HARQ
+    retransmissions underneath (and RLC ARQ above for exhausted ones)."""
+    port = 47122
+    res = {}
+
+    def gnb():
+        res["gnb"] = connected_ota.run_gnb(port, n_cycles=8,
+                                           log=lambda *a: None,
+                                           l2_stack=True)
+
+    t = threading.Thread(target=gnb)
+    t.start()
+    res["ue"] = connected_ota.run_ue(port, n_cycles=8, log=lambda *a: None,
+                                     l2_stack=True)
+    t.join(timeout=420)
+    st = res.get("gnb")
+    assert isinstance(st, dict), "gNB endpoint did not finish"
+    assert st["ul_pkts"] > 0 and st["ul_pkts_intact"] == st["ul_pkts"], st
+    assert res["ue"].get("dl_pkts", 0) > 0, res["ue"]
