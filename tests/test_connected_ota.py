@@ -54,3 +54,43 @@ def test_connected_user_plane_over_the_air():
     assert isinstance(st, dict), "gNB endpoint did not finish"
     assert st["ul_pkts"] > 0 and st["ul_pkts_intact"] == st["ul_pkts"], st
     assert res["ue"].get("dl_pkts", 0) > 0, res["ue"]
+
+
+def test_gtpu_to_drb_user_plane():
+    """Core-to-UE user plane: an N3 GTP-U G-PDU is decapsulated at the
+    gNB, rides the DRB (PDCP NEA2 + RLC AM + MAC framing) across a lossy
+    TB channel, and the UE delivers the exact inner IP packet; the UL
+    direction re-encapsulates the UE's packet toward the core."""
+    from openairinterface5g_tpu.l2.pdcp import DIR_DL, DIR_UL
+    from openairinterface5g_tpu.l2.userplane import DrbStack
+    from openairinterface5g_tpu.l3.gtpu import GtpuEndpoint, encode_gpdu
+
+    gnb_drb = DrbStack(DIR_DL)
+    ue_drb = DrbStack(DIR_UL)
+    # N3 tunnel: the gNB endpoint decapsulates into the DRB
+    gnb_gtp = GtpuEndpoint(
+        deliver=lambda sid, pay: gnb_drb.send_packet(pay))
+    gnb_gtp.add_session(5, local_teid=0x1111, remote_teid=0x2222)
+    ip_pkt = b"E\x00\x01\x00" + bytes(range(128)) * 2
+    gnb_gtp.receive(encode_gpdu(0x1111, ip_pkt))
+
+    # DRB across TBs with the first TB lost (RLC ARQ recovers)
+    lost = gnb_drb.fill_tb(200)                 # dropped
+    assert lost is not None
+    for _ in range(8):
+        gnb_drb.drain_tb(ue_drb.fill_tb(120))
+        ue_drb.drain_tb(gnb_drb.fill_tb(200))
+    assert ue_drb.delivered and ue_drb.delivered[0] == ip_pkt
+
+    # UL: UE packet rides the DRB up, gNB re-encapsulates toward the core
+    up = b"E\x00\x00\x40" + bytes(60)
+    ue_drb.send_packet(up)
+    for _ in range(6):
+        gnb_drb.drain_tb(ue_drb.fill_tb(200))
+        ue_drb.drain_tb(gnb_drb.fill_tb(120))
+    assert gnb_drb.delivered and gnb_drb.delivered[0] == up
+    n1_pkt = gnb_gtp.send(5, gnb_drb.delivered[0])
+    if n1_pkt is not None:
+        from openairinterface5g_tpu.l3.gtpu import decode
+        hdr, inner = decode(n1_pkt)
+        assert inner == up and hdr.teid == 0x2222
