@@ -23,7 +23,7 @@ QUICK_MODULES = {
     "test_confmod_log_trace", "test_utils_runtime", "test_scope_vcd",
     "test_rlc_am", "test_lte_pdcch", "test_nbiot",
     "test_csi_loop", "test_parallel", "test_tdd", "test_runtime",
-    "test_lte_pucch",
+    "test_lte_pucch", "test_prs",
 }
 
 
