@@ -36,13 +36,14 @@ def main():
 
     from openairinterface5g_tpu.models.pusch import PuschConfig, pusch_rx, pusch_tx
 
-    # decoder_check_every=2: IN-KERNEL parity early termination
+    # decoder_check_every=1: IN-KERNEL parity early termination
     # (nrLDPC_decoder.c:554 analog) — a pl.when-predicated fori body checks
-    # the full syndrome every 2 iterations and skips the remaining work
-    # once every CB in the sublane group passes (tools/bench_ldpc_kernel.py
-    # measured +22% over the two-phase host fallback at the 8-iter point)
+    # the full syndrome every iteration and skips the remaining work once
+    # every CB in the sublane group passes; the syndrome sweep costs less
+    # than the decode iteration it saves (5128 vs 4838 slots/s at
+    # check_every 2, vs 4654 for the two-phase host fallback)
     cfg = PuschConfig(mu=1, n_prb=273, mcs=16, n_layers=2, n_rx=2,
-                      decoder_backend="pallas", decoder_check_every=2)
+                      decoder_backend="pallas", decoder_check_every=1)
     B = 8   # slots per step (deeper batch amortizes per-op dispatch cost;
             # still within the reference's sl_ahead≈6-slot pipeline depth)
     n_rep = 128  # timed steps: amortizes the tunnel's fixed ~30 ms

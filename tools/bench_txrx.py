@@ -31,7 +31,7 @@ def main():
     from openairinterface5g_tpu.models.pdsch import PdschConfig
 
     cfg = PuschConfig(mu=1, n_prb=273, mcs=16, n_layers=2, n_rx=2,
-                      decoder_backend="pallas", decoder_check_every=2)
+                      decoder_backend="pallas", decoder_check_every=1)
     dl = PdschConfig(mu=1, n_prb=273, mcs=16, n_layers=2)
     B = 8
     n1, n2 = 8, 32
