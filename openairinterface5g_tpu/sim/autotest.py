@@ -93,6 +93,13 @@ CASES = [
     ("prachsim-9-fmt0-restricted", "prachsim", ["-a", "-s", "-30", "-n", "100", "-R", "106", "-c", "4", "-H"], "PRACH test OK", False),
     ("ulschsim-mcs9", "ulschsim", ["-m", "9", "-R", "106", "-s", "6", "-n", "32"], "ULSCH test OK", False),
     ("dlschsim-mcs15", "dlschsim", ["-m", "15", "-R", "106", "-s", "10", "-n", "32"], "DLSCH test OK", False),
+    # NB-IoT core (r5): sync + NPBCH repetition gain + NPDSCH/NPUSCH +
+    # NPRACH in one gate
+    ("nbiotsim", "nbiotsim", ["-n", "8"], "NB-IoT test OK", False),
+    # lte-softmodem loop: RRC connect inside TBs + scheduled data both
+    # directions with PUCCH 1a/2 feedback (runtime/lte_softmodem.py)
+    ("lte-softmodem-loop", "lte_softmodem_sim", ["--cycles", "4"],
+     "LTE softmodem loop OK", False),
     # LTE legacy stack (dlsim/ulsim analogs of the eNB physims)
     ("lte-dlsim-mcs10", "lte_dlsim", ["-m", "10", "-R", "25", "-s", "12", "-n", "16", "-t", "99"], "LTE PDSCH test OK", False),
     ("lte-ulsim-mcs16-2rx", "lte_ulsim", ["-m", "16", "-R", "25", "-s", "14", "-n", "16", "-t", "99", "-y", "2"], "LTE PUSCH test OK", False),
