@@ -245,7 +245,6 @@ def run_gnb(port: int, n_cycles: int = N_CYCLES_DEFAULT, log=print,
                 stats["ul_ok"] += 1
                 ul_harq_bufs.pop(pend["hid"], None)
                 if drb is not None:
-                    n0 = len(drb.delivered)
                     drb.drain_tb(np.packbits(np.asarray(
                         out["tb_bits"])[0].astype(np.uint8)).tobytes())
                     stats["ul_pkts"] = len(drb.delivered)
